@@ -1,0 +1,243 @@
+"""Host-facing Simulation API.
+
+Wraps the pure step function with lifecycle management mirroring the
+reference controller: init (Start, cs:211-242), capacity growth
+(ResizeParticleBuffers, cs:1162-1222), genome hot-reload (OnGenomeChanged,
+cs:357-367), interactive drag (cs:975-1034), metrics, and checkpointing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sph_tpu.core.init import init_particles
+from sph_tpu.core.types import (
+    Genome,
+    SimParams,
+    SimState,
+    formatted_id,
+)
+from sph_tpu.engine.step import make_step_fn, step as step_fn
+
+
+class Simulation:
+    """A running simulation instance.
+
+    >>> sim = Simulation(genome, SimParams(capacity=64))
+    >>> sim.run(600)
+    >>> sim.metrics()
+    """
+
+    def __init__(
+        self,
+        genome: Genome,
+        params: SimParams,
+        seed: int = 0,
+        rng_mode: str = "jax",
+        auto_grow: bool = False,
+        donate: bool = True,
+    ):
+        self.genome = genome.validate_for_simulation()
+        self.params = params
+        self.seed = seed
+        self.rng_mode = rng_mode
+        self.auto_grow = auto_grow
+        self.donate = donate
+        self.genome_dev = self.genome.to_device()
+        self._step_cache: dict[tuple, Callable] = {}
+        self.state = init_particles(
+            params,
+            self.genome_dev,
+            n_modes=len(self.genome.modes),
+            initial_mode=self.genome.initial_mode_index,
+            capacity=params.capacity,
+            seed=seed,
+            rng_mode=rng_mode,
+        )
+        self._steps_per_sec = float("nan")
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def _stepper(self):
+        key = (self.params, self.state.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_step_fn(self.params, donate=self.donate)
+        return self._step_cache[key]
+
+    def step(self, n: int = 1) -> None:
+        f = self._stepper()
+        for _ in range(n):
+            if self.auto_grow:
+                self._maybe_grow()
+                f = self._stepper()
+            self.state = f(self.state, self.genome_dev)
+
+    def run(self, n_steps: int, block: bool = True) -> float:
+        """Run n steps, return measured physics steps/sec."""
+        t0 = time.perf_counter()
+        self.step(n_steps)
+        if block:
+            jax.block_until_ready(self.state.pos)
+        dt = time.perf_counter() - t0
+        self._steps_per_sec = n_steps / dt if dt > 0 else float("inf")
+        return self._steps_per_sec
+
+    def _maybe_grow(self) -> None:
+        """Grow capacity 2× when the population could exceed it next step
+        (growth policy mirrors cs:788-792: max(needed, 2×current))."""
+        active = int(self.state.active_count)
+        cap = self.state.capacity
+        headroom = cap - active
+        if headroom > max(1, self.params.max_splits_per_step // 2):
+            return
+        self.resize(max(active + self.params.max_splits_per_step, cap * 2))
+
+    def resize(self, new_capacity: int) -> None:
+        """Migrate state into a larger fixed-capacity pytree
+        (ResizeParticleBuffers, cs:1162-1222)."""
+        if new_capacity <= self.state.capacity:
+            return
+        old = self.state
+        fresh = init_particles(
+            self.params,
+            self.genome_dev,
+            n_modes=len(self.genome.modes),
+            initial_mode=self.genome.initial_mode_index,
+            capacity=new_capacity,
+            seed=self.seed,
+            rng_mode=self.rng_mode,
+        )
+        n = old.capacity
+
+        def migrate(new_arr, old_arr):
+            if new_arr.ndim == 0 or new_arr.shape[:1] != (new_capacity,):
+                return old_arr if new_arr.shape == old_arr.shape else new_arr
+            return new_arr.at[:n].set(old_arr)
+
+        import dataclasses
+
+        upd = {}
+        for f in dataclasses.fields(SimState):
+            name = f.name
+            ov, nv = getattr(old, name), getattr(fresh, name)
+            if name in ("bonds", "pending", "drag_input"):
+                upd[name] = ov  # capacities unchanged
+            elif name in ("active_count", "next_uid", "step_count",
+                          "overflow", "rng"):
+                upd[name] = ov
+            else:
+                upd[name] = migrate(nv, ov)
+        self.state = SimState(**upd)
+
+    def on_genome_changed(self, genome: Genome) -> None:
+        """Hot-reload hook: re-init particles with the new genome
+        (cs:357-367)."""
+        self.genome = genome.validate_for_simulation()
+        self.genome_dev = self.genome.to_device()
+        self.state = init_particles(
+            self.params,
+            self.genome_dev,
+            n_modes=len(self.genome.modes),
+            initial_mode=self.genome.initial_mode_index,
+            capacity=self.state.capacity,
+            seed=self.seed,
+            rng_mode=self.rng_mode,
+        )
+
+    # -- interaction (L5) ----------------------------------------------------
+
+    def pick(self, ray_origin, ray_dir) -> int:
+        """CPU ray-sphere intersection over active particles using max_radius
+        as pick radius (cs:977-1013). Returns slot or -1."""
+        pos = np.asarray(self.state.pos)
+        n = int(self.state.active_count)
+        o = np.asarray(ray_origin, np.float32)
+        d = np.asarray(ray_dir, np.float32)
+        d = d / max(np.linalg.norm(d), 1e-12)
+        best, best_t = -1, np.inf
+        r = self.params.max_radius
+        for i in range(n):
+            oc = pos[i] - o
+            tca = float(np.dot(oc, d))
+            if tca < 0:
+                continue
+            d2 = float(np.dot(oc, oc)) - tca * tca
+            if d2 > r * r:
+                continue
+            t = tca - float(np.sqrt(r * r - d2))
+            if t < best_t:
+                best, best_t = i, t
+        return best
+
+    def set_drag(self, slot: int, target, strength: float = 100.0) -> None:
+        """Engage the drag force on a particle (K5 parity; strength 100 while
+        held, cs:1027-1032)."""
+        d = self.state.drag_input
+        self.state = self.state.replace_fields(
+            drag_input=d.replace_fields(
+                selected_slot=jnp.int32(slot),
+                target=jnp.asarray(target, jnp.float32),
+                strength=jnp.float32(strength),
+            )
+        )
+
+    def clear_drag(self) -> None:
+        self.set_drag(-1, (0.0, 0.0, 0.0), 0.0)
+
+    # -- observability ---------------------------------------------------------
+
+    def particle_ids(self) -> list[str]:
+        """Formatted 'PP.UU.C' ids for active particles (cs:178-191)."""
+        n = int(self.state.active_count)
+        pu = np.asarray(self.state.parent_uid[:n])
+        u = np.asarray(self.state.uid[:n])
+        ct = np.asarray(self.state.child_type[:n])
+        return [formatted_id(pu[i], u[i], ct[i]) for i in range(n)]
+
+    def metrics(self) -> dict:
+        """Structured per-step metrics (SURVEY §5.5 rebuild plan)."""
+        st = self.state
+        n = int(st.active_count)
+        alive = np.arange(st.capacity) < n
+        vel = np.asarray(st.vel)[alive]
+        mass = np.asarray(st.mass)[alive]
+        ke = float(0.5 * np.sum(mass * np.sum(vel * vel, axis=-1)))
+        return {
+            "step": int(st.step_count),
+            "active_particles": n,
+            "bond_count": int(np.sum(np.asarray(st.bonds.active))),
+            "kinetic_energy": ke,
+            "max_speed": float(np.max(np.linalg.norm(vel, axis=-1))) if n else 0.0,
+            "overflow": int(st.overflow),
+            "steps_per_sec": self._steps_per_sec,
+        }
+
+    # -- checkpoint / resume ----------------------------------------------------
+
+    def save(self, path: str) -> None:
+        from sph_tpu.engine.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.state, self.params, self.genome)
+
+    @classmethod
+    def load(cls, path: str) -> "Simulation":
+        from sph_tpu.engine.checkpoint import load_checkpoint
+
+        state, params, genome = load_checkpoint(path)
+        sim = cls.__new__(cls)
+        sim.genome = genome
+        sim.params = params
+        sim.seed = 0
+        sim.rng_mode = "jax"
+        sim.auto_grow = False
+        sim.donate = True
+        sim.genome_dev = genome.to_device()
+        sim._step_cache = {}
+        sim.state = state
+        sim._steps_per_sec = float("nan")
+        return sim

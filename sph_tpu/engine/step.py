@@ -1,0 +1,85 @@
+"""The pure per-step function.
+
+The reference's 13-dispatch frame + host bookkeeping
+(ParticleSystemController.cs:244-351 + CellAdhesionManager.LateUpdate) becomes
+one `step(state, params, genome) -> state` under jit. Order per DESIGN.md §3.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sph_tpu.biology.bonds import filter_bonds, update_bond_zones
+from sph_tpu.biology.division import process_pending_splits, queue_splits
+from sph_tpu.core.types import GenomeDevice, SimParams, SimState
+from sph_tpu.physics.adhesion import apply_adhesion
+from sph_tpu.physics.contact import apply_contact, contact_forces_bruteforce
+from sph_tpu.physics.drag import apply_drag_force
+from sph_tpu.physics.integrate import update_motion, update_rotation
+
+
+def contact_forces(state: SimState, params: SimParams):
+    """Neighbor-sum dispatch: brute force (executable spec / BASELINE
+    config[0]) or spatial-hash grid (configs 1+)."""
+    if params.neighbor_mode == "bruteforce":
+        return contact_forces_bruteforce(state, params)
+    elif params.neighbor_mode == "grid":
+        from sph_tpu.ops.grid import contact_forces_grid
+        return contact_forces_grid(state, params)
+    raise ValueError(f"unknown neighbor_mode {params.neighbor_mode!r}")
+
+
+def step(state: SimState, params: SimParams, genome: GenomeDevice) -> SimState:
+    """One full frame (DESIGN.md §3). `params` is static; jit with
+    static_argnums/closure."""
+    # 1-2. Division: apply last step's queued splits, then advance timers and
+    #      queue new ones (cs:253 runs before all dispatches).
+    state = process_pending_splits(state, params, genome)
+    state = queue_splits(state, params, genome)
+
+    # 3-4. Neighbor structure + contact force pass (K2/K3/K4).
+    force, torque = contact_forces(state, params)
+    state = apply_contact(state, params, force, torque)
+
+    # 5. Adhesion constraints (K10/K11) — reads post-contact velocities.
+    state = apply_adhesion(state, params, genome)
+
+    # 6. Interactive drag impulse (K5).
+    state = apply_drag_force(state, params)
+
+    # 7-8. Motion + rotation integration (K6/K7).
+    state = update_motion(state, params)
+    state = update_rotation(state, params)
+
+    # 9-10. Bond zone/anchor refresh for young bonds + pruning (LateUpdate).
+    state = state.replace_fields(bonds=update_bond_zones(state, params, genome))
+    state = state.replace_fields(bonds=filter_bonds(state))
+
+    return state.replace_fields(step_count=state.step_count + 1)
+
+
+_STEP_CACHE: dict = {}
+
+
+def make_step_fn(params: SimParams, donate: bool = True):
+    """Build a jitted step closure over static params.
+
+    Memoized on (params, donate) so every Simulation with equal params shares
+    one compiled executable (per state shape, via jit's own cache).
+    """
+    key = (params, donate)
+    if key not in _STEP_CACHE:
+        f = lambda st, gd: step(st, params, gd)  # noqa: E731
+        _STEP_CACHE[key] = jax.jit(f, donate_argnums=(0,) if donate else ())
+    return _STEP_CACHE[key]
+
+
+def run_steps(state: SimState, params: SimParams, genome: GenomeDevice,
+              n_steps: int) -> SimState:
+    """Roll n physics steps with lax.scan (for benchmarking / headless runs)."""
+    def body(st, _):
+        return step(st, params, genome), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return state

@@ -1,0 +1,136 @@
+"""Adhesion constraints: spring + anchor-swing + relative-orientation.
+
+Deterministic re-specification of ApplyAdhesionConstraints /
+ApplyAdhesionDeltas (SimulateParticles.compute:424-607): per-bond deltas are
+computed from one snapshot and accumulated per particle with `segment_sum`
+instead of fixed-point int atomics, then applied as `v += Δv`,
+`q = normalize(q + Δq)` (compute:599-601).
+
+Replicated quirks (DESIGN.md §4): spring params come from genome mode
+`uid_A % n_modes` (CellAdhesionManager.cs:537); anchor stiffness =
+orientation_constraint_strength × 10 (CAM:559); the orientation constraint is
+gated on the same enable flag as the anchor constraint (compute:457-583).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sph_tpu.core import quat
+from sph_tpu.core.types import GenomeDevice, SimParams, SimState
+
+
+def _axis_angle_delta(axis, angle, q):
+    """quat_mul(axis_angle(axis, angle), q) − q (compute:505-506)."""
+    rq = quat.from_axis_angle(axis, angle)
+    return quat.mul(rq, q) - q
+
+
+def bond_deltas(state: SimState, params: SimParams, genome: GenomeDevice):
+    """Per-bond velocity/rotation deltas → per-particle sums [N,3], [N,4]."""
+    b = state.bonds
+    B = b.capacity
+    N = state.capacity
+    dt = params.dt
+
+    idx_a = jnp.clip(b.slot_a, 0, N - 1)
+    idx_b = jnp.clip(b.slot_b, 0, N - 1)
+    valid = b.active & (b.slot_a >= 0) & (b.slot_b >= 0)
+
+    # Per-bond spring params from mode uid_A % n_modes (CAM:537) — the
+    # reference quirk: NOT the cell's actual mode.
+    n_modes = jnp.maximum(genome.n_modes, 1)
+    mode = jnp.clip(b.uid_a % n_modes, 0, n_modes - 1)
+    rest = genome.adhesion_rest_length[mode]
+    stiff = genome.adhesion_spring_stiffness[mode]
+    damp = genome.adhesion_spring_damping[mode]
+    anchor_stiff = genome.orientation_constraint_strength[mode] * 10.0  # CAM:559
+
+    pos_a, pos_b = state.pos[idx_a], state.pos[idx_b]
+    vel_a, vel_b = state.vel[idx_a], state.vel[idx_b]
+    q_a, q_b = state.rot[idx_a], state.rot[idx_b]
+    m_a, m_b = state.mass[idx_a], state.mass[idx_b]
+
+    # --- Spring (distance) constraint (compute:436-456) ---
+    delta = pos_b - pos_a
+    dist = jnp.linalg.norm(delta, axis=-1)
+    spring_ok = valid & (dist > 1e-6)
+    dirv = delta / jnp.maximum(dist, 1e-20)[:, None]
+    force = dirv * ((dist - rest) * stiff)[:, None]
+    rel_vel = vel_b - vel_a
+    force = force + dirv * (jnp.sum(rel_vel * dirv, axis=-1) * damp)[:, None]
+    dv_a = jnp.where(spring_ok[:, None], force / m_a[:, None] * dt, 0.0)
+    dv_b = jnp.where(spring_ok[:, None], -force / m_b[:, None] * dt, 0.0)
+
+    # --- Anchor + orientation constraints (compute:457-583) ---
+    enabled = valid & params.enable_anchor_constraints
+    strength = anchor_stiff * dt  # compute:460
+
+    anchor_world_a = pos_a + quat.rotate(q_a, b.anchor_a)
+    anchor_world_b = pos_b + quat.rotate(q_b, b.anchor_b)
+    a_delta = anchor_world_b - anchor_world_a
+    a_dist = jnp.linalg.norm(a_delta, axis=-1)
+    anchor_ok = enabled & (a_dist > 1e-6)
+    a_dir = a_delta / jnp.maximum(a_dist, 1e-20)[:, None]
+
+    def swing(qx, anchor_local, desired):
+        """Rotation delta swinging the body-frame anchor toward `desired`
+        (compute:474-539)."""
+        r_world = quat.rotate(qx, anchor_local)
+        axis = jnp.cross(r_world, desired)
+        axis_len = jnp.linalg.norm(axis, axis=-1)
+        axis_n = axis / jnp.maximum(axis_len, 1e-20)[:, None]
+        effectiveness = jnp.abs(
+            jnp.sum(jnp.cross(axis_n, r_world) * desired, axis=-1)
+        )
+        ok = anchor_ok & (axis_len > 1e-6) & (effectiveness > 1e-6)
+        angle = strength * effectiveness * 5.0  # compute:504
+        dq = _axis_angle_delta(axis_n, angle, qx)
+        return jnp.where(ok[:, None], dq, 0.0)
+
+    dq_a = swing(q_a, b.anchor_a, a_dir)
+    dq_b = swing(q_b, b.anchor_b, -a_dir)
+
+    # Relative-orientation constraint (compute:541-583).
+    cur_rel = quat.mul(quat.conjugate(q_a), q_b)
+    corr = quat.mul(b.rel_orientation, quat.conjugate(cur_rel))
+    corr_v = corr[:, :3]
+    corr_angle = 2.0 * jnp.arctan2(
+        jnp.linalg.norm(corr_v, axis=-1), jnp.abs(corr[:, 3])
+    )
+    orient_ok = enabled & (corr_angle > 1e-6)
+    corr_axis = corr_v / jnp.maximum(
+        jnp.linalg.norm(corr_v, axis=-1), 1e-20
+    )[:, None]
+    o_strength = strength * 2.0  # compute:557
+    angle_a = -o_strength * corr_angle * 0.5
+    angle_b = o_strength * corr_angle * 0.5
+    dq_a = dq_a + jnp.where(
+        orient_ok[:, None], _axis_angle_delta(corr_axis, angle_a, q_a), 0.0
+    )
+    dq_b = dq_b + jnp.where(
+        orient_ok[:, None], _axis_angle_delta(corr_axis, angle_b, q_b), 0.0
+    )
+
+    # Scatter-free accumulation: segment-sum endpoint deltas by slot.
+    seg_a = jnp.where(valid, idx_a, N)  # N = drop bucket
+    seg_b = jnp.where(valid, idx_b, N)
+    idx_all = jnp.concatenate([seg_a, seg_b])
+    dv_all = jnp.concatenate([dv_a, dv_b])
+    dq_all = jnp.concatenate([dq_a, dq_b])
+    dv = jax.ops.segment_sum(dv_all, idx_all, num_segments=N + 1)[:N]
+    dq = jax.ops.segment_sum(dq_all, idx_all, num_segments=N + 1)[:N]
+    return dv, dq
+
+
+def apply_adhesion(
+    state: SimState, params: SimParams, genome: GenomeDevice
+) -> SimState:
+    """K10 + K11: compute per-bond deltas and apply them
+    (compute:586-607)."""
+    dv, dq = bond_deltas(state, params, genome)
+    alive = (jnp.arange(state.capacity) < state.active_count)[:, None]
+    vel = jnp.where(alive, state.vel + dv, state.vel)
+    rot = jnp.where(alive, quat.normalize(state.rot + dq), state.rot)
+    return state.replace_fields(vel=vel, rot=rot)

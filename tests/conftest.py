@@ -1,0 +1,30 @@
+"""Test harness: force a local 8-device virtual CPU mesh so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY §4 item 4).
+
+Note: this session's sitecustomize pre-imports jax and presets
+JAX_PLATFORMS=axon (the remote-TPU tunnel), so env vars are too late here —
+we must go through jax.config. Unit tests must be local and fast; bench.py
+uses the real chip.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: repeated pytest runs skip recompiles.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", (
+        "tests must run on local CPU, got " + jax.default_backend()
+    )
+    assert jax.device_count() == 8

@@ -1,0 +1,167 @@
+"""Adhesion constraint tests (K10/K11 parity, DESIGN.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sph_tpu.core import quat
+from sph_tpu.core.types import Genome, GenomeMode, SimParams, SimState
+from sph_tpu.physics.adhesion import apply_adhesion, bond_deltas
+
+
+def make_genome(rest=3.0, stiff=100.0, damp=5.0, orient=0.5):
+    return Genome((
+        GenomeMode(
+            is_initial=True,
+            adhesion_rest_length=rest,
+            adhesion_spring_stiffness=stiff,
+            adhesion_spring_damping=damp,
+            orientation_constraint_strength=orient,
+        ),
+    )).validate_for_simulation()
+
+
+def bonded_pair(params, pos_b=(5.0, 0.0, 0.0), vel_b=(0.0, 0.0, 0.0),
+                rot_a=None, rot_b=None, rel=None, anchors=None):
+    st = SimState.zeros(4, params)
+    st = st.replace_fields(
+        pos=st.pos.at[1].set(jnp.asarray(pos_b, jnp.float32)),
+        vel=st.vel.at[1].set(jnp.asarray(vel_b, jnp.float32)),
+        mass=jnp.full(4, 2.0),
+        active_count=jnp.int32(2),
+        uid=st.uid.at[0].set(0).at[1].set(1),
+    )
+    if rot_a is not None:
+        st = st.replace_fields(rot=st.rot.at[0].set(rot_a))
+    if rot_b is not None:
+        st = st.replace_fields(rot=st.rot.at[1].set(rot_b))
+    b = st.bonds
+    b = b.replace_fields(
+        active=b.active.at[0].set(True),
+        uid_a=b.uid_a.at[0].set(0),
+        uid_b=b.uid_b.at[0].set(1),
+        slot_a=b.slot_a.at[0].set(0),
+        slot_b=b.slot_b.at[0].set(1),
+    )
+    if rel is not None:
+        b = b.replace_fields(rel_orientation=b.rel_orientation.at[0].set(rel))
+    if anchors is not None:
+        b = b.replace_fields(
+            anchor_a=b.anchor_a.at[0].set(jnp.asarray(anchors[0], jnp.float32)),
+            anchor_b=b.anchor_b.at[0].set(jnp.asarray(anchors[1], jnp.float32)),
+            anchors_set=b.anchors_set.at[0].set(True),
+        )
+    return st.replace_fields(bonds=b)
+
+
+def test_spring_force_hand_computed():
+    # dist=5, rest=3 ⇒ |F| = 2·100 = 200 pulling together; mass 2, dt=0.01:
+    # Δv_A = F/m·dt = (200/2)·0.01 = +1 x̂, Δv_B = −1 x̂.
+    params = SimParams(dt=0.01, enable_anchor_constraints=False)
+    genome = make_genome(rest=3.0, stiff=100.0, damp=0.0)
+    st = bonded_pair(params)
+    dv, dq = bond_deltas(st, params, genome.to_device())
+    np.testing.assert_allclose(dv[0], [1.0, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(dv[1], [-1.0, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(dq, 0.0, atol=1e-7)
+
+
+def test_spring_damping():
+    # B receding at +1 x̂: damping adds dir·(relVel·dir)·c = +5 x̂ to F.
+    params = SimParams(dt=0.01, enable_anchor_constraints=False)
+    genome = make_genome(rest=3.0, stiff=100.0, damp=5.0)
+    st = bonded_pair(params, vel_b=(1.0, 0.0, 0.0))
+    dv, _ = bond_deltas(st, params, genome.to_device())
+    np.testing.assert_allclose(dv[0], [(200 + 5) / 2 * 0.01, 0, 0], atol=1e-5)
+
+
+def test_spring_momentum_conservation():
+    params = SimParams(dt=0.01, enable_anchor_constraints=False)
+    genome = make_genome()
+    st = bonded_pair(params, pos_b=(4.2, 1.0, -0.5), vel_b=(0.3, -0.2, 0.1))
+    dv, _ = bond_deltas(st, params, genome.to_device())
+    # Equal masses ⇒ Δp cancels.
+    np.testing.assert_allclose(dv[0] + dv[1], 0.0, atol=1e-6)
+
+
+def test_orientation_constraint_restores_rel_orientation():
+    # B twisted 0.2 rad about x vs captured identity rel orientation:
+    # correction splits ±½ between the two (compute:541-583).
+    params = SimParams(dt=0.01, enable_anchor_constraints=True)
+    genome = make_genome(orient=0.5)
+    twist = quat.from_axis_angle(jnp.array([1.0, 0.0, 0.0]), 0.2)
+    st = bonded_pair(params, rot_b=twist, rel=quat.IDENTITY)
+    st2 = apply_adhesion(st, params, genome.to_device())
+    # Relative angle between A and B must shrink.
+    rel_before = quat.mul(quat.conjugate(st.rot[0]), st.rot[1])
+    rel_after = quat.mul(quat.conjugate(st2.rot[0]), st2.rot[1])
+    ang_before = 2 * np.arccos(np.clip(abs(float(rel_before[3])), 0, 1))
+    ang_after = 2 * np.arccos(np.clip(abs(float(rel_after[3])), 0, 1))
+    assert ang_after < ang_before
+
+
+def test_anchor_constraint_swings_anchors_together():
+    # Anchors on opposite sides (pointing away from each other): the swing
+    # constraint should rotate both to bring anchor points closer.
+    params = SimParams(dt=0.01, enable_anchor_constraints=True)
+    genome = make_genome(orient=0.5)
+    st = bonded_pair(
+        params, pos_b=(3.0, 0.0, 0.0),
+        anchors=((0.0, 1.0, 0.0), (0.0, -1.0, 0.0)),
+        rel=quat.IDENTITY,
+    )
+    b = st.bonds
+
+    def anchor_gap(state):
+        a = state.pos[0] + quat.rotate(state.rot[0], b.anchor_a[0])
+        c = state.pos[1] + quat.rotate(state.rot[1], b.anchor_b[0])
+        return float(jnp.linalg.norm(c - a))
+
+    gap0 = anchor_gap(st)
+    st2 = apply_adhesion(st, params, genome.to_device())
+    assert anchor_gap(st2) < gap0
+
+
+def test_quaternions_stay_normalized():
+    params = SimParams(dt=0.05, enable_anchor_constraints=True)
+    genome = make_genome()
+    twist = quat.from_axis_angle(jnp.array([0.3, 0.5, 0.8]) / jnp.sqrt(0.98), 0.7)
+    st = bonded_pair(params, rot_b=twist, rel=quat.IDENTITY,
+                     anchors=((0.0, 1.0, 0.0), (1.0, 0.0, 0.0)))
+    for _ in range(10):
+        st = apply_adhesion(st, params, genome.to_device())
+    norms = jnp.linalg.norm(st.rot[:2], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_mode_quirk_uid_modulo():
+    # Spring params come from mode (uid_A % n_modes), NOT the cell's mode
+    # (CellAdhesionManager.cs:537).
+    params = SimParams(dt=0.01, enable_anchor_constraints=False)
+    g = Genome((
+        GenomeMode(is_initial=True, adhesion_rest_length=3.0,
+                   adhesion_spring_stiffness=100.0, adhesion_spring_damping=0.0),
+        GenomeMode(adhesion_rest_length=5.0, adhesion_spring_stiffness=10.0,
+                   adhesion_spring_damping=0.0),
+    )).validate_for_simulation()
+    st = bonded_pair(params)
+    # uid_a = 0 ⇒ mode 0 regardless of particle modes.
+    st = st.replace_fields(mode=st.mode.at[0].set(1).at[1].set(1))
+    dv, _ = bond_deltas(st, params, g.to_device())
+    np.testing.assert_allclose(dv[0], [1.0, 0, 0], atol=1e-5)  # mode-0 params
+
+    # uid_a = 1 ⇒ mode 1: |F| = (5−5)·10 = 0 at dist 5.
+    b = st.bonds.replace_fields(uid_a=st.bonds.uid_a.at[0].set(1))
+    st2 = st.replace_fields(bonds=b)
+    dv2, _ = bond_deltas(st2, params, g.to_device())
+    np.testing.assert_allclose(dv2[0], 0.0, atol=1e-6)
+
+
+def test_inactive_bond_no_effect():
+    params = SimParams(dt=0.01)
+    genome = make_genome()
+    st = bonded_pair(params)
+    b = st.bonds.replace_fields(active=st.bonds.active.at[0].set(False))
+    st = st.replace_fields(bonds=b)
+    dv, dq = bond_deltas(st, params, genome.to_device())
+    np.testing.assert_allclose(dv, 0.0)
+    np.testing.assert_allclose(dq, 0.0)

@@ -1,0 +1,132 @@
+"""Golden-model unit tests for the contact pass (DESIGN.md §2 vs hand-derived
+values from SimulateParticles.compute:211-309)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sph_tpu.core.types import SimParams, SimState
+from sph_tpu.physics.contact import (
+    apply_contact,
+    contact_forces_bruteforce,
+    pair_contact,
+)
+
+
+def two_particle_state(params, pos_b, vel_b=(0, 0, 0), omega_b=(0, 0, 0),
+                       radius=2.0):
+    st = SimState.zeros(4, params)
+    st = st.replace_fields(
+        pos=st.pos.at[1].set(jnp.asarray(pos_b, jnp.float32)),
+        vel=st.vel.at[1].set(jnp.asarray(vel_b, jnp.float32)),
+        ang_vel=st.ang_vel.at[1].set(jnp.asarray(omega_b, jnp.float32)),
+        radius=jnp.full(4, radius, jnp.float32),
+        mass=jnp.ones(4, jnp.float32),
+        inertia=jnp.ones(4, jnp.float32),
+        active_count=jnp.int32(2),
+    )
+    return st
+
+
+def test_repulsion_hand_computed():
+    # r=2 ⇒ eff=1 each, sum=2. dist=1.5 ⇒ overlap=0.5, falloff=0.25.
+    # |F| = falloff · 200 · overlap_falloff = 0.25·200·0.25 = 12.5 away from B.
+    params = SimParams(repulsion_strength=200.0)
+    st = two_particle_state(params, (1.5, 0.0, 0.0))
+    f, t = contact_forces_bruteforce(st, params)
+    np.testing.assert_allclose(f[0], [-12.5, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(f[1], [12.5, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(t[:2], 0.0, atol=1e-7)  # no slip, no torque
+
+
+def test_no_contact_beyond_effective_radius():
+    # Visual radii overlap (dist 3 < 4) but effective radii (half) don't.
+    params = SimParams()
+    st = two_particle_state(params, (3.0, 0.0, 0.0))
+    f, _ = contact_forces_bruteforce(st, params)
+    np.testing.assert_allclose(f, 0.0, atol=1e-7)
+
+
+def test_contact_epsilon_gate():
+    # overlap = 0.0005 < 0.001 ⇒ no force (compute:253).
+    params = SimParams()
+    st = two_particle_state(params, (1.9995, 0.0, 0.0))
+    f, _ = contact_forces_bruteforce(st, params)
+    np.testing.assert_allclose(f, 0.0, atol=1e-7)
+
+
+def test_rolling_torque_hand_computed():
+    # B slides +y at speed 1: slip=1, mag=min(1^1.25,10)=1,
+    # scale=overlap_falloff²=0.0625, rT_A=0.0625·1·5=0.3125,
+    # τ_A = cross(dir·rT_A, f̂) with dir=(−1,0,0), f̂=(0,−1,0) ⇒ (0,0,0.3125).
+    params = SimParams(torque_factor=1.0, rolling_contact_radius_multiplier=5.0)
+    st = two_particle_state(params, (1.5, 0.0, 0.0), vel_b=(0.0, 1.0, 0.0))
+    _, t = contact_forces_bruteforce(st, params)
+    np.testing.assert_allclose(t[0], [0, 0, 0.3125], atol=1e-5)
+    # Partner torque is parallel (same direction; DESIGN.md §2 symmetry).
+    np.testing.assert_allclose(t[1], [0, 0, 0.3125], atol=1e-5)
+
+
+def test_friction_mag_clamp():
+    # Huge slip ⇒ friction magnitude clamps at 10 (compute:280).
+    params = SimParams(torque_factor=100.0)
+    st = two_particle_state(params, (1.5, 0.0, 0.0), vel_b=(0.0, 50.0, 0.0))
+    _, t = contact_forces_bruteforce(st, params)
+    expected = 0.0625 * 1.0 * 5.0 * 10.0
+    np.testing.assert_allclose(t[0], [0, 0, expected], rtol=1e-5)
+
+
+def test_apply_contact_integration_and_accumulator():
+    params = SimParams(dt=0.01)
+    st = two_particle_state(params, (1.5, 0.0, 0.0), vel_b=(0.0, 1.0, 0.0))
+    f, t = contact_forces_bruteforce(st, params)
+    st2 = apply_contact(st, params, f, t)
+    np.testing.assert_allclose(st2.vel[0], st.vel[0] + f[0] * 0.01, atol=1e-6)
+    np.testing.assert_allclose(st2.ang_vel[0], t[0] * 0.01, atol=1e-6)
+    # Accumulator carries T·dt for the rotation pass (compute:291).
+    np.testing.assert_allclose(st2.torque_accum[0], t[0] * 0.01, atol=1e-6)
+    # Dead slots untouched.
+    np.testing.assert_allclose(st2.torque_accum[2:], 0.0)
+
+
+def test_momentum_conservation_bruteforce():
+    # Pair forces are antisymmetric ⇒ contact conserves linear momentum.
+    import jax
+
+    params = SimParams(repulsion_strength=200.0)
+    key = jax.random.PRNGKey(1)
+    N = 32
+    st = SimState.zeros(N, params)
+    st = st.replace_fields(
+        pos=jax.random.uniform(key, (N, 3), minval=-3, maxval=3),
+        vel=jax.random.normal(jax.random.PRNGKey(2), (N, 3)),
+        radius=jnp.full(N, 2.0),
+        mass=jnp.ones(N),
+        inertia=jnp.ones(N),
+        active_count=jnp.int32(N),
+    )
+    f, _ = contact_forces_bruteforce(st, params)
+    np.testing.assert_allclose(jnp.sum(f, axis=0), 0.0, atol=1e-3)
+
+
+def test_pair_contact_matches_bruteforce_rowsum():
+    import jax
+
+    params = SimParams()
+    N = 16
+    st = SimState.zeros(N, params)
+    st = st.replace_fields(
+        pos=jax.random.uniform(jax.random.PRNGKey(3), (N, 3), minval=-2, maxval=2),
+        radius=jnp.full(N, 2.0),
+        active_count=jnp.int32(N),
+    )
+    f, t = contact_forces_bruteforce(st, params)
+    # Manual reference with explicit [N,N] pair math.
+    valid = ~jnp.eye(N, dtype=bool)
+    fp, tp = pair_contact(
+        st.pos[:, None], st.vel[:, None], st.ang_vel[:, None],
+        st.radius[:, None],
+        st.pos[None], st.vel[None], st.ang_vel[None], st.radius[None],
+        valid, params,
+    )
+    np.testing.assert_allclose(f, fp.sum(1), atol=1e-4)
+    np.testing.assert_allclose(t, tp.sum(1), atol=1e-4)
