@@ -130,6 +130,64 @@ def stencil_candidates(coords: jnp.ndarray, bins: Bins, spec: GridSpec):
     return cand.reshape(coords.shape[0], -1)               # [N, 27K]
 
 
+# ---------------------------------------------------------------------------
+# Sorted layout: the fluid path reorders particle data by cell every step, so
+# neighbor gathers hit (mostly) contiguous memory and bins need no scatter —
+# cell c's members are sorted rows [starts[c], starts[c]+counts[c]).
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class SortedBins:
+    """Cell ranges over the SORTED particle order."""
+
+    starts: jnp.ndarray    # [C+1] first sorted row of each cell
+    counts: jnp.ndarray    # [C]
+    overflow: jnp.ndarray  # particles beyond cell_capacity (missed as
+    #                        neighbors; counted, never silent)
+
+
+def sort_by_cell(pos: jnp.ndarray, spec: GridSpec):
+    """Returns (order, SortedBins): `order` is the permutation that sorts
+    particles by cell id (stable)."""
+    C = spec.n_cells
+    cid = cell_ids(cell_coords(pos, spec), spec)
+    order = jnp.argsort(cid)
+    cid_sorted = cid[order]
+    starts = jnp.searchsorted(cid_sorted, jnp.arange(C + 1), side="left")
+    counts = jnp.diff(starts).astype(jnp.int32)
+    overflow = jnp.sum(jnp.maximum(counts - spec.cell_capacity, 0))
+    return order, SortedBins(
+        starts=starts.astype(jnp.int32), counts=counts,
+        overflow=overflow.astype(jnp.int32),
+    )
+
+
+def stencil_candidates_sorted(
+    coords: jnp.ndarray, bins: SortedBins, spec: GridSpec
+) -> jnp.ndarray:
+    """For each query coordinate: sorted-row indices of all particles in the
+    3×3×3 stencil, as [Q, 27·K] (-1 = empty lane / out of bounds)."""
+    K = spec.cell_capacity
+    dims = jnp.asarray(spec.dim, jnp.int32)
+    offsets = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(27, 3)
+
+    nb = coords[:, None, :] + offsets[None, :, :]           # [Q, 27, 3]
+    in_bounds = jnp.all((nb >= 0) & (nb < dims), axis=-1)   # [Q, 27]
+    nb_cid = cell_ids(jnp.clip(nb, 0, dims - 1), spec)      # [Q, 27]
+    lane = jnp.arange(K, dtype=jnp.int32)
+    cand = bins.starts[nb_cid][..., None] + lane            # [Q, 27, K]
+    valid = in_bounds[..., None] & (lane < bins.counts[nb_cid][..., None])
+    cand = jnp.where(valid, cand, -1)
+    return cand.reshape(coords.shape[0], -1)
+
+
 def contact_forces_grid(state: SimState, params: SimParams,
                         row_block: int = 2048):
     """Grid-accelerated contact sums; must match contact_forces_bruteforce

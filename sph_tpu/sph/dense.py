@@ -1,0 +1,465 @@
+"""Dense cell-grid SPH engine — the TPU performance path.
+
+Motivation (measured on v5e via the axon relay, see BENCH notes in BASELINE.md):
+random-index gathers run at ~1 GB/s effective on TPU while rolls/slices/
+elementwise stream at HBM speed, so the classic gather-based neighbor list is
+hopeless. This engine keeps particles in a dense cell-major layout and
+enumerates neighbor pairs with LANE ROLLS — zero gathers, zero scatters, zero
+sorts in the hot loop:
+
+- Layout: per-component arrays of shape [Z, Y, X·K] (f32): cell (z, y, x)
+  owns lanes [x·K, (x+1)·K). The minor dim X·K is a multiple of 128 (VPU lane
+  width). One margin cell rings the domain in every axis.
+- Empty lanes hold a SENTINEL position (1e9) so every pair test
+  (relu(h² − r²) etc.) rejects them arithmetically — no occupancy masks in
+  the pair loop.
+- Pair enumeration: for dz, dy ∈ {−1,0,1} roll the z/y axes; for the x axis
+  roll the LANE dimension by D ∈ [−(2K−1), 2K−1]. For a particle in lane
+  x·K+k this reaches every lane of cells x−1, x, x+1 exactly once (and spills
+  a few lanes into x±2, whose distance ≥ cell ≥ h, so the kernel support test
+  rejects them — that is why cell_size ≥ h is required). Rolls wrap into the
+  margin ring, which is sentinel, so wraps are inert too.
+- Rebinning: particles move ≤ 1 cell per step (CFL keeps v·dt ≤ 0.25·h <
+  cell). A batched one-hot matmul (MXU) compacts, per cell, the ≤ 27·K
+  stencil candidates that now belong to it into K lanes. Overflow is counted
+  and surfaced, never silent.
+
+This replaces the reference's atomic linked-list grid + per-thread neighbor
+walk (SimulateParticles.compute:196-300) with a formulation XLA can stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sph_tpu.core.types import pytree_dataclass
+from sph_tpu.sph import kernels as KN
+from sph_tpu.sph.model import SPHParams, SPHState, eos_pressure, obstacle_accel
+
+SENTINEL = 1.0e9
+
+
+@dataclass(frozen=True)
+class DenseSpec:
+    """Static dense-grid geometry."""
+
+    zdim: int          # cells incl. margins
+    ydim: int
+    xdim: int
+    k: int             # lanes per cell
+    cell: float        # cell edge ≥ h
+    origin: tuple[float, float, float]  # world corner of cell (0,0,0)
+    ndim: int
+
+    @property
+    def lanes(self) -> int:
+        return self.xdim * self.k
+
+    @property
+    def slots(self) -> int:
+        return self.zdim * self.ydim * self.lanes
+
+
+def make_dense_spec(params: SPHParams, k: int = 8,
+                    cell_factor: float = 1.5) -> DenseSpec:
+    cell = params.h * cell_factor
+    lo, hi = params.bounds_min, params.bounds_max
+
+    def ncells(a):
+        extent = hi[a] - lo[a]
+        return max(1, int(-(-extent // cell)))
+
+    nx, ny = ncells(0) + 2, ncells(1) + 2
+    nz = (ncells(2) + 2) if params.ndim == 3 else 1
+    # Pad x so x·K is a multiple of 128 (VPU lane width), y to a multiple of 8.
+    lane_mult = max(1, 128 // k)
+    nx = -(-nx // lane_mult) * lane_mult
+    ny = -(-ny // 8) * 8
+    return DenseSpec(
+        zdim=nz, ydim=ny, xdim=nx, k=k, cell=cell,
+        origin=(
+            lo[0] - cell, lo[1] - cell,
+            (lo[2] - cell) if params.ndim == 3 else 0.0,
+        ),
+        ndim=params.ndim,
+    )
+
+
+@pytree_dataclass
+class DenseFluidState:
+    """SoA component arrays, each [Z, Y, X·K] f32."""
+
+    px: jnp.ndarray
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    vz: jnp.ndarray
+    occ: jnp.ndarray       # 1.0 where a particle lives
+    rho: jnp.ndarray
+    prs: jnp.ndarray
+    dropped: jnp.ndarray   # i32: rebin overflow casualties (counted loudly)
+    step_count: jnp.ndarray
+
+
+def pack(state: SPHState, params: SPHParams, spec: DenseSpec) -> DenseFluidState:
+    """Host-side packing of a flat particle state into the dense layout."""
+    pos = np.asarray(state.pos)
+    vel = np.asarray(state.vel)
+    n = pos.shape[0]
+    org = np.asarray(spec.origin, np.float32)
+    cc = np.clip(
+        ((pos - org) / spec.cell).astype(np.int64),
+        0, np.array([spec.xdim, spec.ydim, spec.zdim]) - 1,
+    )
+    shape = (spec.zdim, spec.ydim, spec.lanes)
+    px = np.full(shape, SENTINEL, np.float32)
+    py = np.full(shape, SENTINEL, np.float32)
+    pz = np.full(shape, SENTINEL, np.float32)
+    vx = np.zeros(shape, np.float32)
+    vy = np.zeros(shape, np.float32)
+    vz = np.zeros(shape, np.float32)
+    occ = np.zeros(shape, np.float32)
+
+    # Vectorized fill: sort by cell id, rank within cell, slot = cid·K + rank.
+    cid = (cc[:, 2] * spec.ydim + cc[:, 1]) * spec.xdim + cc[:, 0]
+    order = np.argsort(cid, kind="stable")
+    cid_s = cid[order]
+    starts = np.searchsorted(cid_s, cid_s)  # first index of own cell run
+    rank = np.arange(n) - starts
+    if (rank >= spec.k).any():
+        raise ValueError(
+            f"pack overflow: {(rank >= spec.k).sum()} particles exceeded "
+            f"k={spec.k}; raise dense_k or cell_factor"
+        )
+    z, y, x = cc[order, 2], cc[order, 1], cc[order, 0]
+    lane = x * spec.k + rank
+    ps, vs = pos[order], vel[order]
+    px[z, y, lane], py[z, y, lane], pz[z, y, lane] = ps[:, 0], ps[:, 1], ps[:, 2]
+    vx[z, y, lane], vy[z, y, lane], vz[z, y, lane] = vs[:, 0], vs[:, 1], vs[:, 2]
+    occ[z, y, lane] = 1.0
+    J = jnp.asarray
+    return DenseFluidState(
+        px=J(px), py=J(py), pz=J(pz), vx=J(vx), vy=J(vy), vz=J(vz),
+        occ=J(occ),
+        rho=jnp.full(shape, params.rest_density, jnp.float32),
+        prs=jnp.zeros(shape, jnp.float32),
+        dropped=jnp.int32(0),
+        step_count=jnp.int32(0),
+    )
+
+
+def unpack(dstate: DenseFluidState):
+    """Flat (pos, vel, rho, prs, mask) views for tests / rendering / IO."""
+    flat = lambda a: a.reshape(-1)  # noqa: E731
+    mask = flat(dstate.occ) > 0.5
+    pos = jnp.stack([flat(dstate.px), flat(dstate.py), flat(dstate.pz)], -1)
+    vel = jnp.stack([flat(dstate.vx), flat(dstate.vy), flat(dstate.vz)], -1)
+    return pos, vel, flat(dstate.rho), flat(dstate.prs), mask
+
+
+def _variants(spec: DenseSpec):
+    """All (dz, dy, D) stencil roll offsets."""
+    k = spec.k
+    dzs = (-1, 0, 1) if spec.ndim == 3 else (0,)
+    return [
+        (dz, dy, D)
+        for dz in dzs
+        for dy in (-1, 0, 1)
+        for D in range(-(2 * k - 1), 2 * k)
+    ]
+
+
+def _roll(f: jnp.ndarray, dz: int, dy: int, D: int) -> jnp.ndarray:
+    """Align the (dz, dy, D) stencil neighbor with each own lane."""
+    shifts, axes = [], []
+    if dz:
+        shifts.append(-dz)
+        axes.append(0)
+    if dy:
+        shifts.append(-dy)
+        axes.append(1)
+    if D:
+        shifts.append(-D)
+        axes.append(2)
+    if not shifts:
+        return f
+    return jnp.roll(f, shifts, axes)
+
+
+def density_pass(d: DenseFluidState, params: SPHParams,
+                 spec: DenseSpec) -> jnp.ndarray:
+    """ρ over all lanes; empty lanes forced to rest density (keeps the EOS
+    and force math NaN-free without masks)."""
+    h2 = params.h * params.h
+    acc = jnp.zeros_like(d.px)
+    for dz, dy, D in _variants(spec):
+        qx = _roll(d.px, dz, dy, D)
+        qy = _roll(d.py, dz, dy, D)
+        qz = _roll(d.pz, dz, dy, D)
+        r2 = (d.px - qx) ** 2 + (d.py - qy) ** 2 + (d.pz - qz) ** 2
+        t = jnp.maximum(h2 - r2, 0.0)
+        acc = acc + t * t * t
+    rho = params.particle_mass * KN.poly6_coeff(params.h, params.ndim) * acc
+    return jnp.where(d.occ > 0.5, jnp.maximum(rho, 1e-6), params.rest_density)
+
+
+def accel_pass(d: DenseFluidState, params: SPHParams, spec: DenseSpec):
+    """Pressure + viscosity acceleration over all lanes (garbage in empty
+    lanes; they are never integrated into real particles)."""
+    h = params.h
+    m = params.particle_mass
+    spiky_c = KN.spiky_grad_coeff(h, params.ndim)
+    visc_c = KN.viscosity_lap_coeff(h, params.ndim)
+    pr2 = d.prs / (d.rho * d.rho)     # empty lanes: 0 / rest² = 0
+    ax = jnp.zeros_like(d.px)
+    ay = jnp.zeros_like(d.px)
+    az = jnp.zeros_like(d.px)
+    for dz, dy, D in _variants(spec):
+        qx = _roll(d.px, dz, dy, D)
+        qy = _roll(d.py, dz, dy, D)
+        qz = _roll(d.pz, dz, dy, D)
+        dx = d.px - qx
+        dyy = d.py - qy
+        dzz = d.pz - qz
+        r2 = dx * dx + dyy * dyy + dzz * dzz
+        r = jnp.sqrt(jnp.maximum(r2, 1e-18))
+        # relu(h − r) masks both out-of-support and (via the self gate)
+        # sentinel pairs; the r² > ε gate removes the self pair.
+        not_self = (r2 > 1e-16).astype(jnp.float32)
+        hr = jnp.maximum(h - r, 0.0)
+
+        cp = (-m * spiky_c) * (pr2 + _roll(pr2, dz, dy, D)) * hr * hr / r
+        cp = cp * not_self
+        ax = ax + cp * dx
+        ay = ay + cp * dyy
+        az = az + cp * dzz
+
+        cv = (params.viscosity * m * visc_c) * hr / (
+            d.rho * _roll(d.rho, dz, dy, D)
+        ) * not_self
+        ax = ax + cv * (_roll(d.vx, dz, dy, D) - d.vx)
+        ay = ay + cv * (_roll(d.vy, dz, dy, D) - d.vy)
+        az = az + cv * (_roll(d.vz, dz, dy, D) - d.vz)
+    return ax, ay, az
+
+
+def _integrate(d: DenseFluidState, ax, ay, az, params: SPHParams):
+    """Gravity/obstacles + symplectic Euler + box walls, all lane-wise."""
+    dt = params.dt
+    ay = ay - params.gravity
+    if params.obstacles:
+        pos = jnp.stack([d.px, d.py, d.pz], axis=-1)
+        oa = obstacle_accel(pos, params)
+        ax = ax + oa[..., 0]
+        ay = ay + oa[..., 1]
+        az = az + oa[..., 2]
+    occ = d.occ > 0.5
+    vx = jnp.where(occ, d.vx + ax * dt, 0.0)
+    vy = jnp.where(occ, d.vy + ay * dt, 0.0)
+    vz = jnp.where(occ, d.vz + az * dt, 0.0) if params.ndim == 3 else d.vz * 0
+    px = jnp.where(occ, d.px + vx * dt, d.px)
+    py = jnp.where(occ, d.py + vy * dt, d.py)
+    pz = jnp.where(occ, d.pz + vz * dt, d.pz)
+
+    lo = params.bounds_min
+    hi = params.bounds_max
+    for axis, (p, v, lo_a, hi_a) in enumerate(
+        [(px, vx, lo[0], hi[0]), (py, vy, lo[1], hi[1]), (pz, vz, lo[2], hi[2])]
+    ):
+        if axis == 2 and params.ndim == 2:
+            continue
+        hit = occ & ((p < lo_a) | (p > hi_a))
+        p_new = jnp.clip(p, lo_a, hi_a)
+        v_new = jnp.where(hit, -params.boundary_damping * v, v)
+        if axis == 0:
+            px, vx = jnp.where(occ, p_new, px), v_new
+        elif axis == 1:
+            py, vy = jnp.where(occ, p_new, py), v_new
+        else:
+            pz, vz = jnp.where(occ, p_new, pz), v_new
+    return px, py, pz, vx, vy, vz
+
+
+def _compact_stage(fields, occ, own_coord, target_coord, axis_roll,
+                   spec: DenseSpec):
+    """One axis pass of the staged rebin: candidates are the own cell plus
+    its two axis-neighbors; a candidate wants this cell when its target
+    coordinate along the axis equals the cell's. Compacts the ≤3K wanting
+    candidates into K lanes (deterministic shift-major order).
+
+    fields: [Z, Y, L, F]; axis_roll(a, step) rolls array `a` by `step` cells
+    along the stage axis. Returns (fields, occ, dropped).
+    """
+    Z, Y, L = occ.shape
+    K = spec.k
+    X = spec.xdim
+    F = fields.shape[-1]
+
+    cand_blocks, want_blocks = [], []
+    for step in (-1, 0, 1):
+        sf = axis_roll(fields, step)
+        so = axis_roll(occ, step)
+        st = axis_roll(target_coord, step)
+        wants = (st == own_coord) & (so > 0.5)
+        cand_blocks.append(sf.reshape(Z, Y, X, K, F))
+        want_blocks.append(wants.reshape(Z, Y, X, K))
+    cand = jnp.concatenate(cand_blocks, axis=3)      # [Z,Y,X,3K,F]
+    wants = jnp.concatenate(want_blocks, axis=3)     # [Z,Y,X,3K]
+
+    rank = jnp.cumsum(wants.astype(jnp.int32), axis=3) - 1
+    keep = wants & (rank < K)
+    dropped = jnp.sum(wants & ~keep)
+
+    # Masked-sum compaction (K fused reductions — avoids the tiny batched
+    # matmul the one-hot einsum lowers to).
+    outs = []
+    occ_outs = []
+    for k in range(K):
+        mk = (keep & (rank == k)).astype(jnp.float32)  # [Z,Y,X,3K]
+        outs.append(jnp.sum(mk[..., None] * cand, axis=3))
+        occ_outs.append(jnp.sum(mk, axis=3))
+    packed = jnp.stack(outs, axis=3).reshape(Z, Y, L, F)
+    occ_new = jnp.stack(occ_outs, axis=3).reshape(Z, Y, L)
+    return packed, occ_new, dropped
+
+
+def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
+          spec: DenseSpec) -> DenseFluidState:
+    """Move particles to their new home cells, one axis at a time (x, y, z).
+
+    Per-step drift is ≤ 1 cell (the velocity clamp in dense_step enforces
+    the rebin-cadence budget), so each axis stage moves a particle by at
+    most one cell and the stages compose to the full move. Every stage is a
+    ≤3K→K masked compaction — 9× less candidate traffic than a monolithic
+    27-cell compaction. Overflow is counted, never silent.
+    """
+    Z, Y, L = px.shape
+    K = spec.k
+    X = spec.xdim
+    org = spec.origin
+
+    cx = jnp.clip(((px - org[0]) / spec.cell).astype(jnp.int32), 0, X - 1)
+    cy = jnp.clip(((py - org[1]) / spec.cell).astype(jnp.int32), 0, Y - 1)
+    cz = (
+        jnp.clip(((pz - org[2]) / spec.cell).astype(jnp.int32), 0, Z - 1)
+        if spec.ndim == 3 else jnp.zeros_like(cx)
+    )
+    dead = d.occ < 0.5
+    cx = jnp.where(dead, -9, cx)
+    cy = jnp.where(dead, -9, cy)
+    cz = jnp.where(dead, -9, cz)
+
+    # Targets ride along as extra field columns so the stages permute them
+    # together with the payload.
+    fields = jnp.stack(
+        [px, py, pz, vx, vy, vz,
+         cx.astype(jnp.float32), cy.astype(jnp.float32),
+         cz.astype(jnp.float32)],
+        axis=-1,
+    )
+    occ = d.occ
+    own_x = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 2) // K
+    own_y = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 1)
+    own_z = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 0)
+
+    dropped = jnp.int32(0)
+    stages = [
+        (own_x, 6, lambda a, s: _roll(a, 0, 0, s * K)),
+        (own_y, 7, lambda a, s: _roll(a, 0, s, 0)),
+    ]
+    if spec.ndim == 3:
+        stages.append((own_z, 8, lambda a, s: _roll(a, s, 0, 0)))
+    for own_coord, t_col, axis_roll in stages:
+        target = fields[..., t_col].astype(jnp.int32)
+        target = jnp.where(occ > 0.5, target, -9)
+        fields, occ, drp = _compact_stage(
+            fields, occ, own_coord, target, axis_roll, spec
+        )
+        dropped = dropped + drp
+
+    empty = occ < 0.5
+
+    def comp(i, sentinel):
+        return jnp.where(empty, sentinel, fields[..., i])
+
+    return DenseFluidState(
+        px=comp(0, SENTINEL), py=comp(1, SENTINEL), pz=comp(2, SENTINEL),
+        vx=comp(3, 0.0), vy=comp(4, 0.0), vz=comp(5, 0.0),
+        occ=jnp.where(empty, 0.0, 1.0),
+        rho=d.rho, prs=d.prs,
+        dropped=d.dropped + dropped.astype(jnp.int32),
+        step_count=d.step_count,
+    )
+
+
+def dense_step(d: DenseFluidState, params: SPHParams,
+               spec: DenseSpec) -> DenseFluidState:
+    """One WCSPH step on the dense layout: density → EOS → forces →
+    integrate → rebin (every `rebin_every` steps, with a velocity clamp
+    keeping inter-rebin drift inside the stencil margin)."""
+    if params.use_pallas:
+        from sph_tpu.ops.pallas.fluid import accel_pallas, density_pallas
+
+        rho = density_pallas(d.px, d.py, d.pz, params, spec)
+        rho = jnp.where(
+            d.occ > 0.5, jnp.maximum(rho, 1e-6), params.rest_density
+        )
+        prs = jnp.where(d.occ > 0.5, eos_pressure(rho, params), 0.0)
+        d = d.replace_fields(rho=rho, prs=prs)
+        pr2 = d.prs / (d.rho * d.rho)
+        ax, ay, az = accel_pallas(d, pr2, params, spec)
+    else:
+        rho = density_pass(d, params, spec)
+        prs = jnp.where(d.occ > 0.5, eos_pressure(rho, params), 0.0)
+        d = d.replace_fields(rho=rho, prs=prs)
+        ax, ay, az = accel_pass(d, params, spec)
+
+    px, py, pz, vx, vy, vz = _integrate(d, ax, ay, az, params)
+
+    if params.rebin_every > 1:
+        # Drift budget between rebins: (cell − h)/2 shared across R steps.
+        vmax = (spec.cell - params.h) * 0.5 / (params.rebin_every * params.dt)
+        speed = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+        scale = jnp.minimum(1.0, vmax / jnp.maximum(speed, 1e-12))
+        vx, vy, vz = vx * scale, vy * scale, vz * scale
+
+    def do_rebin(args):
+        px, py, pz, vx, vy, vz = args
+        return rebin(d, px, py, pz, vx, vy, vz, params, spec)
+
+    def no_rebin(args):
+        px, py, pz, vx, vy, vz = args
+        return d.replace_fields(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz)
+
+    if params.rebin_every == 1:
+        d = do_rebin((px, py, pz, vx, vy, vz))
+    else:
+        d = jax.lax.cond(
+            d.step_count % params.rebin_every == params.rebin_every - 1,
+            do_rebin, no_rebin, (px, py, pz, vx, vy, vz),
+        )
+    return d.replace_fields(step_count=d.step_count + 1)
+
+
+_DENSE_CACHE: dict = {}
+
+
+def make_dense_step(params: SPHParams, spec: DenseSpec, substeps: int = 1,
+                    donate: bool = True):
+    key = (params, spec, substeps, donate)
+    if key not in _DENSE_CACHE:
+        def f(st):
+            if substeps == 1:
+                return dense_step(st, params, spec)
+            return jax.lax.scan(
+                lambda s, _: (dense_step(s, params, spec), None), st, None,
+                length=substeps,
+            )[0]
+        _DENSE_CACHE[key] = jax.jit(f, donate_argnums=(0,) if donate else ())
+    return _DENSE_CACHE[key]

@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from sph_tpu.core.types import pytree_dataclass
-from sph_tpu.ops.grid import GridSpec, build_bins, cell_coords, stencil_candidates
+from sph_tpu.ops.grid import (
+    GridSpec,
+    cell_coords,
+    sort_by_cell,
+    stencil_candidates_sorted,
+)
 from sph_tpu.sph import kernels as K
 
 
@@ -39,8 +44,18 @@ class SPHParams:
     bounds_min: tuple[float, float, float] = (0.0, 0.0, 0.0)
     bounds_max: tuple[float, float, float] = (1.0, 1.0, 1.0)
     boundary_damping: float = 0.5     # velocity restitution on wall hit
-    cell_capacity: int = 48
+    # With h = 1.3·dx a cell holds ~2.2 particles at rest density; 16 leaves
+    # ample headroom for compression and wall pile-up (overflow is counted).
+    cell_capacity: int = 16
     row_block: int = 4096
+    # Dense-grid engine knobs (sph_tpu.sph.dense): lanes per cell, cell size
+    # as a multiple of h (≥ 1 required by the lane-roll coverage argument),
+    # Pallas kernels for the pair passes, and rebin cadence (velocities are
+    # clamped so drift between rebins stays within the stencil margin).
+    dense_k: int = 8
+    cell_factor: float = 1.5
+    use_pallas: bool = True
+    rebin_every: int = 1
     # SDF obstacles: tuple of (kind, params...) — see sdf_obstacles().
     obstacles: tuple = ()
     obstacle_stiffness: float = 3e4
@@ -163,78 +178,64 @@ def obstacle_accel(pos: jnp.ndarray, params: SPHParams) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _neighbor_loop(state: SPHState, params: SPHParams, fn):
-    """Shared row-blocked neighbor reduction: for each particle, `fn` sees
-    its own fields and [R, 27K] candidate fields and returns reduced rows."""
-    N = state.pos.shape[0]
-    spec = params.grid_spec()
-    alive = jnp.ones(N, bool)
-    bins = build_bins(state.pos, alive, spec)
-    coords = cell_coords(state.pos, spec)
-    R = min(params.row_block, N)
+def _row_blocked(N: int, row_block: int, block_fn):
+    """Apply block_fn over row blocks and concatenate (bounds peak memory of
+    the [R, 27K] candidate tensors)."""
+    R = min(row_block, N)
     nb = -(-N // R)
-
-    def block(b):
-        i0 = b * R
-        rows = jnp.minimum(i0 + jnp.arange(R), N - 1)
-        cand = stencil_candidates(coords[rows], bins, spec)
-        cj = jnp.clip(cand, 0, N - 1)
-        valid = cand >= 0
-        return fn(rows, cj, valid)
-
     if nb == 1:
-        out = block(jnp.int32(0))
-        out = jax.tree_util.tree_map(lambda x: x[:N], out)
-    else:
-        outs = jax.lax.map(block, jnp.arange(nb, dtype=jnp.int32))
-        out = jax.tree_util.tree_map(
-            lambda x: x.reshape(nb * R, *x.shape[2:])[:N], outs
-        )
-    return out, bins.overflow
+        out = block_fn(jnp.int32(0))
+        return jax.tree_util.tree_map(lambda x: x[:N], out)
+    outs = jax.lax.map(block_fn, jnp.arange(nb, dtype=jnp.int32))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(nb * R, *x.shape[2:])[:N], outs
+    )
 
 
-def compute_density(state: SPHState, params: SPHParams):
-    """ρ_i = Σ_j m·W_poly6(r_ij) (self term included)."""
+def _density_sorted(pos, coords, bins, spec, params: SPHParams):
+    """ρ over SORTED particle rows (self term included via the r²=0 lane)."""
+    N = pos.shape[0]
     h2 = params.h * params.h
 
-    def fn(rows, cj, valid):
-        d = state.pos[rows][:, None, :] - state.pos[cj]
+    def block(b):
+        rows = jnp.minimum(b * min(params.row_block, N) + jnp.arange(
+            min(params.row_block, N)), N - 1)
+        cand = stencil_candidates_sorted(coords[rows], bins, spec)
+        cj = jnp.clip(cand, 0, N - 1)
+        d = pos[rows][:, None, :] - pos[cj]
         r2 = jnp.sum(d * d, axis=-1)
-        w = jnp.where(valid & (r2 < h2), K.w_poly6(r2, params.h, params.ndim), 0.0)
+        w = jnp.where(
+            (cand >= 0) & (r2 < h2), K.w_poly6(r2, params.h, params.ndim), 0.0
+        )
         return params.particle_mass * jnp.sum(w, axis=1)
 
-    rho, overflow = _neighbor_loop(state, params, fn)
-    return jnp.maximum(rho, 1e-6), overflow
+    return jnp.maximum(_row_blocked(N, params.row_block, block), 1e-6)
 
 
-def eos_pressure(rho: jnp.ndarray, params: SPHParams) -> jnp.ndarray:
-    """Tait equation of state, clamped ≥ 0 against tensile instability."""
-    p = params.tait_b * ((rho / params.rest_density) ** params.gamma - 1.0)
-    return jnp.maximum(p, 0.0)
-
-
-def compute_accel(state: SPHState, params: SPHParams) -> jnp.ndarray:
-    """Pressure (symmetric p/ρ² spiky-gradient form) + viscosity + gravity
-    + obstacle penalties."""
+def _accel_sorted(pos, vel, rho, p, coords, bins, spec, params: SPHParams):
+    """Pressure + viscosity acceleration over SORTED rows."""
+    N = pos.shape[0]
     h = params.h
     m = params.particle_mass
-    rho, p = state.density, state.pressure
     p_over_rho2 = p / (rho * rho)
 
-    def fn(rows, cj, valid):
-        d = state.pos[rows][:, None, :] - state.pos[cj]
+    def block(b):
+        rows = jnp.minimum(b * min(params.row_block, N) + jnp.arange(
+            min(params.row_block, N)), N - 1)
+        cand = stencil_candidates_sorted(coords[rows], bins, spec)
+        cj = jnp.clip(cand, 0, N - 1)
+        d = pos[rows][:, None, :] - pos[cj]
         r2 = jnp.sum(d * d, axis=-1)
         r = jnp.sqrt(jnp.maximum(r2, 1e-18))
-        near = valid & (r2 < h * h) & (r2 > 1e-16)
+        near = (cand >= 0) & (r2 < h * h) & (r2 > 1e-16)
 
         grad = K.grad_w_spiky(d, r, h, params.ndim)
-        pij = (p_over_rho2[rows][:, None] + p_over_rho2[cj])
+        pij = p_over_rho2[rows][:, None] + p_over_rho2[cj]
         a_press = -m * jnp.sum(
             jnp.where(near[..., None], grad * pij[..., None], 0.0), axis=1
         )
-
         lap = K.lap_w_viscosity(r, h, params.ndim)
-        dv = state.vel[cj] - state.vel[rows][:, None, :]
+        dv = vel[cj] - vel[rows][:, None, :]
         a_visc = params.viscosity * m * jnp.sum(
             jnp.where(
                 near[..., None],
@@ -245,14 +246,48 @@ def compute_accel(state: SPHState, params: SPHParams) -> jnp.ndarray:
         )
         return a_press + a_visc
 
-    acc, _ = _neighbor_loop(state, params, fn)
+    return _row_blocked(N, params.row_block, block)
+
+
+def _external_accel(pos, acc, params: SPHParams):
     g = jnp.zeros(3, jnp.float32).at[1].set(-params.gravity)
     acc = acc + g
     if params.obstacles:
-        acc = acc + obstacle_accel(state.pos, params)
+        acc = acc + obstacle_accel(pos, params)
     if params.ndim == 2:
         acc = acc.at[:, 2].set(0.0)
     return acc
+
+
+def compute_density(state: SPHState, params: SPHParams):
+    """ρ in input particle order (sorted pipeline + inverse permutation)."""
+    spec = params.grid_spec()
+    order, bins = sort_by_cell(state.pos, spec)
+    pos_s = state.pos[order]
+    rho_s = _density_sorted(pos_s, cell_coords(pos_s, spec), bins, spec, params)
+    N = state.pos.shape[0]
+    rho = jnp.zeros(N, rho_s.dtype).at[order].set(rho_s)
+    return rho, bins.overflow
+
+
+def eos_pressure(rho: jnp.ndarray, params: SPHParams) -> jnp.ndarray:
+    """Tait equation of state, clamped ≥ 0 against tensile instability."""
+    p = params.tait_b * ((rho / params.rest_density) ** params.gamma - 1.0)
+    return jnp.maximum(p, 0.0)
+
+
+def compute_accel(state: SPHState, params: SPHParams) -> jnp.ndarray:
+    """Acceleration in input particle order (sorted pipeline inside)."""
+    spec = params.grid_spec()
+    order, bins = sort_by_cell(state.pos, spec)
+    pos_s, vel_s = state.pos[order], state.vel[order]
+    rho_s, p_s = state.density[order], state.pressure[order]
+    acc_s = _accel_sorted(
+        pos_s, vel_s, rho_s, p_s, cell_coords(pos_s, spec), bins, spec, params
+    )
+    acc_s = _external_accel(pos_s, acc_s, params)
+    N = state.pos.shape[0]
+    return jnp.zeros((N, 3), acc_s.dtype).at[order].set(acc_s)
 
 
 def apply_boundaries(pos, vel, params: SPHParams):
@@ -271,18 +306,32 @@ def apply_boundaries(pos, vel, params: SPHParams):
 
 
 def sph_step(state: SPHState, params: SPHParams) -> SPHState:
-    """One WCSPH step: density → EOS → forces → symplectic Euler → walls."""
-    rho, overflow = compute_density(state, params)
+    """One WCSPH step: sort by cell → density → EOS → forces → symplectic
+    Euler → walls.
+
+    Fluid particles carry no identity, so the cell-sort permutation is kept —
+    the output state IS in sorted order. This makes every neighbor gather
+    (mostly) contiguous in HBM: the single biggest lever on TPU, where the
+    pipeline is bandwidth-bound (SURVEY §7 / pallas_guide "HBM → VMEM").
+    """
+    spec = params.grid_spec()
+    order, bins = sort_by_cell(state.pos, spec)
+    pos = state.pos[order]
+    vel = state.vel[order]
+    coords = cell_coords(pos, spec)
+
+    rho = _density_sorted(pos, coords, bins, spec, params)
     p = eos_pressure(rho, params)
-    state = state.replace_fields(density=rho, pressure=p)
-    acc = compute_accel(state, params)
-    vel = state.vel + acc * params.dt
-    pos = state.pos + vel * params.dt
+    acc = _accel_sorted(pos, vel, rho, p, coords, bins, spec, params)
+    acc = _external_accel(pos, acc, params)
+
+    vel = vel + acc * params.dt
+    pos = pos + vel * params.dt
     pos, vel = apply_boundaries(pos, vel, params)
-    return state.replace_fields(
-        pos=pos, vel=vel,
+    return SPHState(
+        pos=pos, vel=vel, density=rho, pressure=p,
         step_count=state.step_count + 1,
-        bin_overflow=state.bin_overflow + overflow,
+        bin_overflow=state.bin_overflow + bins.overflow,
     )
 
 
