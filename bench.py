@@ -1,62 +1,118 @@
 """Benchmark harness. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Primary metric (BASELINE.json): particle-steps/sec. Config ladder grows as
-components land; current flagship config is reported.
+Headline metric (BASELINE.json): particle-steps/sec at 256k, 3D dam break,
+dense-grid engine with Pallas kernels on one chip. vs_baseline is the
+fraction of the 60M particle-steps/s north star (1M particles × 60 steps/s).
+
+Run on the real TPU (default platform); pass --config N for other ladder
+rungs, --all for the whole ladder.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import jax
+import jax.numpy as jnp
 
 
-def bench_contact_bruteforce(n_particles: int = 4096, n_steps: int = 30):
-    """BASELINE config[0]: brute-force O(N²) contact sums, fixed dt."""
-    import jax.numpy as jnp
+def _bench_dense(n_target: int, steps: int = 30, substeps: int = 15,
+                 rebin_every: int = 3, obstacles=()):
+    from sph_tpu.sph.dense import make_dense_spec, pack, make_dense_step
+    from sph_tpu.sph.scenes import dam_break_3d
 
-    from sph_tpu.core.init import init_particles
-    from sph_tpu.engine.config import reference_genome, reference_scene_params
-    from sph_tpu.engine.step import make_step_fn
-
-    genome = reference_genome()
-    params = reference_scene_params(capacity=n_particles).replace(
-        max_bonds=4096, max_splits_per_step=32, min_radius=0.5, max_radius=0.5,
-        spawn_radius=40.0,
+    state, params = dam_break_3d(n_target=n_target, obstacles=obstacles)
+    params = params.replace(
+        cell_factor=1.2, dense_k=8, rebin_every=rebin_every, use_pallas=True
     )
-    gd = genome.to_device()
-    state = init_particles(
-        params, gd, n_modes=1, initial_mode=0,
-        capacity=n_particles, active_count=n_particles,
-    )
-    f = make_step_fn(params, donate=False)
-    state = f(state, gd)  # compile + warm
-    jax.block_until_ready(state.pos)
+    spec = make_dense_spec(params, k=8, cell_factor=1.2)
+    N = state.pos.shape[0]
+    d = pack(state, params, spec)
+    f = make_dense_step(params, spec, substeps=substeps, donate=True)
+    red = jax.jit(lambda s: (jnp.sum(s.occ), s.dropped))
+    d = f(d)
+    n_alive, dropped = (float(x) for x in red(d))  # sync + warm
+    best = 0.0
+    rounds = max(1, steps // substeps)
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        d = f(d)
+        _ = [float(x) for x in red(d)]
+        best = max(best, substeps / (time.perf_counter() - t0))
+    n_alive, dropped = (float(x) for x in red(d))
+    return {
+        "steps_per_sec": round(best, 2),
+        "n_particles": N,
+        "particle_steps_per_sec": round(best * N, 0),
+        "alive": int(n_alive),
+        "dropped": int(dropped),
+    }
+
+
+def _bench_2d(n_target: int, grid: bool, steps: int = 20):
+    from sph_tpu.sph.model import make_sph_step
+    from sph_tpu.sph.scenes import dam_break_2d, splash_pour_2d
+
+    scene = splash_pour_2d if grid else dam_break_2d
+    state, params = scene(n_target=n_target)
+    N = state.pos.shape[0]
+    f = make_sph_step(params, donate=True, substeps=steps)
+    state = f(state)
+    jnp.sum(state.pos).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state = f(state, gd)
-    jax.block_until_ready(state.pos)
-    dt = time.perf_counter() - t0
-    return n_steps / dt
+    state = f(state)
+    float(jnp.sum(state.pos))
+    sps = steps / (time.perf_counter() - t0)
+    return {"steps_per_sec": round(sps, 2), "n_particles": N,
+            "particle_steps_per_sec": round(sps * N, 0)}
+
+
+CONFIGS = {
+    0: ("2D dam-break 4k (sorted-grid reference path)",
+        lambda: _bench_2d(4096, grid=False)),
+    1: ("2D splash/pour 32k (sorted-grid path)",
+        lambda: _bench_2d(32768, grid=True)),
+    2: ("3D dam-break 256k (dense grid + Pallas)",
+        lambda: _bench_dense(262144)),
+    3: ("3D dam-break + SDF obstacle 1M (dense grid + Pallas)",
+        lambda: _bench_dense(
+            1_000_000, obstacles=(("cylinder_z", (1.2, 0.15), 0.12),)
+        )),
+}
 
 
 def main():
-    n = 4096
-    sps = bench_contact_bruteforce(n)
-    result = {
-        "metric": f"particle-steps/sec (contact sim, brute-force O(N^2), N={n})",
-        "value": round(sps * n, 1),
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=2,
+                    choices=sorted(CONFIGS), help="ladder rung to run")
+    ap.add_argument("--all", action="store_true")
+    args = ap.parse_args()
+
+    if args.all:
+        detail = {}
+        for _idx, (name, fn) in CONFIGS.items():
+            try:
+                detail[name] = fn()
+            except Exception as e:  # noqa: BLE001
+                detail[name] = {"error": str(e)[:200]}
+        head_name = CONFIGS[2][0]
+        head = detail[head_name]
+    else:
+        head_name, fn = CONFIGS[args.config]
+        head = fn()
+        detail = {head_name: head}
+
+    psps = head.get("particle_steps_per_sec", 0.0)
+    print(json.dumps({
+        "metric": f"particle-steps/sec ({head_name}, 1 chip)",
+        "value": psps,
         "unit": "particle-steps/sec",
-        "vs_baseline": round((sps * n) / (60.0 * 1e6), 4),
-        "detail": {
-            "steps_per_sec": round(sps, 2),
-            "n_particles": n,
-            "baseline_note": "vs_baseline = fraction of the 60 M particle-steps/sec north star (1M @ 60 sps)",
-        },
-    }
-    print(json.dumps(result))
+        "vs_baseline": round(psps / 60e6, 4),
+        "detail": detail,
+    }))
 
 
 if __name__ == "__main__":

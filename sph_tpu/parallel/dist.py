@@ -1,0 +1,193 @@
+"""Multi-chip spatial domain decomposition (BASELINE config[4]).
+
+The dense layout [N0, N1, L] (sph_tpu.sph.dense) is sharded over layout dim 0
+(world x in 3D) across a 1D device mesh; each step exchanges one-plane halos
+with the two neighbors over ICI via `jax.lax.ppermute` inside `shard_map`.
+
+Why this is correct with zero special cases: the unsharded engine's rolls
+wrap around dim 0 into the sentinel margin ring. Under a wrapping ppermute
+ring, shard 0's left halo is the LAST shard's last plane — which is the
+global right margin, i.e. sentinel. So the sharded halo ring reproduces the
+unsharded wrap semantics exactly, and results are bit-identical to the
+single-device run (asserted in tests/test_dist.py).
+
+Per step: 3 halo exchanges (positions for density, rho/pressure for forces,
+post-integration state for rebin), each 2 planes × fields — O(N1·L) bytes,
+riding ICI. The reference has no distributed layer at all (SURVEY §2.13-2.16);
+this is the TPU-native analog mandated by the north star.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sph_tpu.sph.dense import (
+    DenseFluidState,
+    DenseSpec,
+    _integrate,
+    accel_pass,
+    density_pass,
+    rebin,
+    rebin_vmax,
+)
+from sph_tpu.sph.model import SPHParams, eos_pressure
+
+
+def exchange_halo(arr: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """[P, ...] local slab → [P+2, ...] with neighbor halo planes.
+
+    Wrapping ring: matches the unsharded engine's dim-0 roll wraparound
+    (inert, since the wrapped planes are the global sentinel margins).
+    """
+    n = jax.lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]   # send toward +dim0
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    # My last plane becomes my +1 neighbor's left halo, and vice versa.
+    left_halo = jax.lax.ppermute(arr[-1:], axis_name, fwd)
+    right_halo = jax.lax.ppermute(arr[:1], axis_name, bwd)
+    return jnp.concatenate([left_halo, arr, right_halo], axis=0)
+
+
+def _local_step(d: DenseFluidState, params: SPHParams, spec: DenseSpec,
+                axis_name: str) -> DenseFluidState:
+    """One step on a local slab, with halo exchanges where planes of
+    neighbor data are needed. Interior = [1:-1] of every padded tensor."""
+    ex = functools.partial(exchange_halo, axis_name=axis_name)
+
+    def pad_state(st, fields):
+        return st.replace_fields(**{f: ex(getattr(st, f)) for f in fields})
+
+    # --- density (needs neighbor positions) ---
+    dp = pad_state(d, ("px", "py", "pz", "occ", "vx", "vy", "vz",
+                       "rho", "prs"))
+    if params.use_pallas:
+        from sph_tpu.ops.pallas.fluid import density_pallas
+
+        rho_p = density_pallas(dp.px, dp.py, dp.pz, dp.occ, params, spec)
+    else:
+        rho_p = density_pass(dp, params, spec)
+        # density_pass already applies the occupancy fixup; the pallas path
+        # applies it below. Normalize: recompute fixup uniformly.
+    rho_p = jnp.where(
+        dp.occ > 0.5, jnp.maximum(rho_p, 1e-6), params.rest_density
+    )
+    prs_p = jnp.where(dp.occ > 0.5, eos_pressure(rho_p, params), 0.0)
+
+    # --- forces (needs neighbor rho/prs too; rho_p already padded-shaped,
+    # but halo planes were computed from the neighbor's *positions* only —
+    # their rho halo must come from the OWNER's full-stencil value) ---
+    rho_own = rho_p[1:-1]
+    prs_own = prs_p[1:-1]
+    rho_pad = ex(rho_own)
+    prs_pad = ex(prs_own)
+    dp = dp.replace_fields(rho=rho_pad, prs=prs_pad)
+    if params.use_pallas:
+        from sph_tpu.ops.pallas.fluid import accel_pallas
+
+        pr2 = dp.prs / (dp.rho * dp.rho)
+        ax, ay, az = accel_pallas(dp, pr2, params, spec)
+    else:
+        ax, ay, az = accel_pass(dp, params, spec)
+
+    dpi = d.replace_fields(rho=rho_own, prs=prs_own)
+    px, py, pz, vx, vy, vz = _integrate(
+        dp.replace_fields(rho=rho_pad, prs=prs_pad),
+        ax, ay, az, params, rebin_vmax(params, spec),
+    )
+    px, py, pz = px[1:-1], py[1:-1], pz[1:-1]
+    vx, vy, vz = vx[1:-1], vy[1:-1], vz[1:-1]
+
+    def do_rebin(args):
+        px, py, pz, vx, vy, vz = args
+        # Rebin on the padded slab: emigrants into halo planes land in the
+        # neighbor's interior via ITS copy of our boundary plane.
+        dpad = pad_state(
+            dpi.replace_fields(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz),
+            ("px", "py", "pz", "vx", "vy", "vz", "occ"),
+        )
+        p_local = px.shape[0]
+        offset = jax.lax.axis_index(axis_name) * p_local - 1
+        out = rebin(
+            dpad, dpad.px, dpad.py, dpad.pz, dpad.vx, dpad.vy, dpad.vz,
+            params, spec, dim0_offset=offset,
+        )
+        # Diagnostic drop count: psum of local counts (shard-edge cells are
+        # compacted on both owners, so edge drops can double-count — this is
+        # an overflow alarm, not an exact tally).
+        local_drops = out.dropped - dpi.dropped
+        total_drops = jax.lax.psum(local_drops, axis_name)
+        return dpi.replace_fields(
+            px=out.px[1:-1], py=out.py[1:-1], pz=out.pz[1:-1],
+            vx=out.vx[1:-1], vy=out.vy[1:-1], vz=out.vz[1:-1],
+            occ=out.occ[1:-1],
+            dropped=dpi.dropped + total_drops,
+        )
+
+    def no_rebin(args):
+        px, py, pz, vx, vy, vz = args
+        return dpi.replace_fields(px=px, py=py, pz=pz,
+                                  vx=vx, vy=vy, vz=vz)
+
+    if params.rebin_every == 1:
+        d = do_rebin((px, py, pz, vx, vy, vz))
+    else:
+        d = jax.lax.cond(
+            d.step_count % params.rebin_every == params.rebin_every - 1,
+            do_rebin, no_rebin, (px, py, pz, vx, vy, vz),
+        )
+    return d.replace_fields(step_count=d.step_count + 1)
+
+
+def make_sharded_dense_step(params: SPHParams, spec: DenseSpec, mesh: Mesh,
+                            substeps: int = 1, donate: bool = True):
+    """Jitted multi-device step: dense state sharded over layout dim 0."""
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if spec.n0 % n:
+        raise ValueError(f"n0={spec.n0} not divisible by {n} devices")
+    from sph_tpu.sph.dense import _check_rebin_cadence
+
+    _check_rebin_cadence(params, spec)
+
+    # The local rebin operates on a padded slab: spec is geometry-only and
+    # unchanged (it reads world_cells for coordinate clamps, which stay
+    # global).
+    def local(d):
+        if substeps == 1:
+            return _local_step(d, params, spec, axis)
+        return jax.lax.scan(
+            lambda s, _: (_local_step(s, params, spec, axis), None),
+            d, None, length=substeps,
+        )[0]
+
+    arr = P(axis, None, None)
+    spec_in = DenseFluidState(
+        px=arr, py=arr, pz=arr, vx=arr, vy=arr, vz=arr, occ=arr,
+        rho=arr, prs=arr, dropped=P(), step_count=P(),
+    )
+    f = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec_in,), out_specs=spec_in,
+        check_vma=False,
+    )
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
+def shard_dense_state(d: DenseFluidState, mesh: Mesh) -> DenseFluidState:
+    axis = mesh.axis_names[0]
+
+    def put(x):
+        if x.ndim >= 1:
+            return jax.device_put(
+                x, NamedSharding(mesh, P(axis, *[None] * (x.ndim - 1)))
+            )
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, d)
+
+
+def unshard_dense_state(d: DenseFluidState) -> DenseFluidState:
+    return jax.tree_util.tree_map(lambda x: jax.device_get(x), d)

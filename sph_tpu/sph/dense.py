@@ -46,23 +46,38 @@ SENTINEL = 1.0e9
 
 @dataclass(frozen=True)
 class DenseSpec:
-    """Static dense-grid geometry."""
+    """Static dense-grid geometry.
 
-    zdim: int          # cells incl. margins
-    ydim: int
-    xdim: int
+    Layout dims are (n0, n1, n2·k): `axis_map` names the WORLD axis stored in
+    each layout dim. 3D uses (x, y, z·K) so the fluid's sparse footprint (its
+    x–y projection) lands on the grid axes the Pallas kernels can skip; 2D
+    uses (z=1, y, x·K).
+    """
+
+    n0: int            # layout dim 0 cells (incl. margins)
+    n1: int            # layout dim 1 cells
+    n2: int            # layout lane-cells (× k lanes each)
     k: int             # lanes per cell
     cell: float        # cell edge ≥ h
-    origin: tuple[float, float, float]  # world corner of cell (0,0,0)
+    origin: tuple[float, float, float]  # WORLD corner of cell (0,0,0)
     ndim: int
+    axis_map: tuple[int, int, int] = (0, 1, 2)  # world axis per layout dim
 
     @property
     def lanes(self) -> int:
-        return self.xdim * self.k
+        return self.n2 * self.k
 
     @property
     def slots(self) -> int:
-        return self.zdim * self.ydim * self.lanes
+        return self.n0 * self.n1 * self.lanes
+
+    def world_cells(self) -> tuple[int, int, int]:
+        """Cell counts indexed by WORLD axis (x, y, z)."""
+        dims = (self.n0, self.n1, self.n2)
+        out = [1, 1, 1]
+        for li, wa in enumerate(self.axis_map):
+            out[wa] = dims[li]
+        return tuple(out)
 
 
 def make_dense_spec(params: SPHParams, k: int = 8,
@@ -72,21 +87,24 @@ def make_dense_spec(params: SPHParams, k: int = 8,
 
     def ncells(a):
         extent = hi[a] - lo[a]
-        return max(1, int(-(-extent // cell)))
+        return max(1, int(-(-extent // cell))) + 2  # +2 margin ring
 
-    nx, ny = ncells(0) + 2, ncells(1) + 2
-    nz = (ncells(2) + 2) if params.ndim == 3 else 1
-    # Pad x so x·K is a multiple of 128 (VPU lane width), y to a multiple of 8.
+    if params.ndim == 3:
+        axis_map = (0, 1, 2)          # [X, Y, Z·K]
+        wc = [ncells(0), ncells(1), ncells(2)]
+        origin = (lo[0] - cell, lo[1] - cell, lo[2] - cell)
+    else:
+        axis_map = (2, 1, 0)          # [1, Y, X·K]
+        wc = [ncells(0), ncells(1), 1]
+        origin = (lo[0] - cell, lo[1] - cell, 0.0)
+
+    n0 = wc[axis_map[0]]
+    n1 = -(-wc[axis_map[1]] // 8) * 8            # sublane multiple
     lane_mult = max(1, 128 // k)
-    nx = -(-nx // lane_mult) * lane_mult
-    ny = -(-ny // 8) * 8
+    n2 = -(-wc[axis_map[2]] // lane_mult) * lane_mult  # lane multiple
     return DenseSpec(
-        zdim=nz, ydim=ny, xdim=nx, k=k, cell=cell,
-        origin=(
-            lo[0] - cell, lo[1] - cell,
-            (lo[2] - cell) if params.ndim == 3 else 0.0,
-        ),
-        ndim=params.ndim,
+        n0=n0, n1=n1, n2=n2, k=k, cell=cell, origin=origin,
+        ndim=params.ndim, axis_map=axis_map,
     )
 
 
@@ -113,11 +131,13 @@ def pack(state: SPHState, params: SPHParams, spec: DenseSpec) -> DenseFluidState
     vel = np.asarray(state.vel)
     n = pos.shape[0]
     org = np.asarray(spec.origin, np.float32)
-    cc = np.clip(
-        ((pos - org) / spec.cell).astype(np.int64),
-        0, np.array([spec.xdim, spec.ydim, spec.zdim]) - 1,
-    )
-    shape = (spec.zdim, spec.ydim, spec.lanes)
+    wc = np.array(spec.world_cells())
+    cc = np.clip(((pos - org) / spec.cell).astype(np.int64), 0, wc - 1)
+    # Layout coordinates per axis_map.
+    i0 = cc[:, spec.axis_map[0]]
+    i1 = cc[:, spec.axis_map[1]]
+    i2 = cc[:, spec.axis_map[2]]
+    shape = (spec.n0, spec.n1, spec.lanes)
     px = np.full(shape, SENTINEL, np.float32)
     py = np.full(shape, SENTINEL, np.float32)
     pz = np.full(shape, SENTINEL, np.float32)
@@ -127,7 +147,7 @@ def pack(state: SPHState, params: SPHParams, spec: DenseSpec) -> DenseFluidState
     occ = np.zeros(shape, np.float32)
 
     # Vectorized fill: sort by cell id, rank within cell, slot = cid·K + rank.
-    cid = (cc[:, 2] * spec.ydim + cc[:, 1]) * spec.xdim + cc[:, 0]
+    cid = (i0 * spec.n1 + i1) * spec.n2 + i2
     order = np.argsort(cid, kind="stable")
     cid_s = cid[order]
     starts = np.searchsorted(cid_s, cid_s)  # first index of own cell run
@@ -137,8 +157,8 @@ def pack(state: SPHState, params: SPHParams, spec: DenseSpec) -> DenseFluidState
             f"pack overflow: {(rank >= spec.k).sum()} particles exceeded "
             f"k={spec.k}; raise dense_k or cell_factor"
         )
-    z, y, x = cc[order, 2], cc[order, 1], cc[order, 0]
-    lane = x * spec.k + rank
+    z, y = i0[order], i1[order]
+    lane = i2[order] * spec.k + rank
     ps, vs = pos[order], vel[order]
     px[z, y, lane], py[z, y, lane], pz[z, y, lane] = ps[:, 0], ps[:, 1], ps[:, 2]
     vx[z, y, lane], vy[z, y, lane], vz[z, y, lane] = vs[:, 0], vs[:, 1], vs[:, 2]
@@ -249,8 +269,19 @@ def accel_pass(d: DenseFluidState, params: SPHParams, spec: DenseSpec):
     return ax, ay, az
 
 
-def _integrate(d: DenseFluidState, ax, ay, az, params: SPHParams):
-    """Gravity/obstacles + symplectic Euler + box walls, all lane-wise."""
+def rebin_vmax(params: SPHParams, spec: DenseSpec) -> float:
+    """Hard speed limit keeping every particle reachable by the staged rebin
+    and covered by the stencil between rebins: with cadence R, drift must
+    stay within min(1 cell reachability, (cell − h)/2 stencil margin)."""
+    if params.rebin_every == 1:
+        return spec.cell / params.dt
+    return (spec.cell - params.h) * 0.5 / (params.rebin_every * params.dt)
+
+
+def _integrate(d: DenseFluidState, ax, ay, az, params: SPHParams,
+               vmax: float):
+    """Gravity/obstacles + symplectic Euler (velocity clamped to the rebin
+    reachability budget BEFORE the position update) + box walls."""
     dt = params.dt
     ay = ay - params.gravity
     if params.obstacles:
@@ -263,6 +294,9 @@ def _integrate(d: DenseFluidState, ax, ay, az, params: SPHParams):
     vx = jnp.where(occ, d.vx + ax * dt, 0.0)
     vy = jnp.where(occ, d.vy + ay * dt, 0.0)
     vz = jnp.where(occ, d.vz + az * dt, 0.0) if params.ndim == 3 else d.vz * 0
+    speed = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    scale = jnp.minimum(1.0, vmax / jnp.maximum(speed, 1e-12))
+    vx, vy, vz = vx * scale, vy * scale, vz * scale
     px = jnp.where(occ, d.px + vx * dt, d.px)
     py = jnp.where(occ, d.py + vy * dt, d.py)
     pz = jnp.where(occ, d.pz + vz * dt, d.pz)
@@ -298,7 +332,7 @@ def _compact_stage(fields, occ, own_coord, target_coord, axis_roll,
     """
     Z, Y, L = occ.shape
     K = spec.k
-    X = spec.xdim
+    X = spec.n2
     F = fields.shape[-1]
 
     cand_blocks, want_blocks = [], []
@@ -315,6 +349,14 @@ def _compact_stage(fields, occ, own_coord, target_coord, axis_roll,
     rank = jnp.cumsum(wants.astype(jnp.int32), axis=3) - 1
     keep = wants & (rank < K)
     dropped = jnp.sum(wants & ~keep)
+    # A particle whose target is > 1 cell away along this axis is claimed by
+    # no cell in the sweep and would vanish silently: count it. (The
+    # rebin_vmax clamp makes this impossible in normal operation.)
+    own_axis = own_coord.reshape(Z, Y, X, K)[..., :1]
+    tgt = target_coord.reshape(Z, Y, X, K)
+    occ_r = occ.reshape(Z, Y, X, K) > 0.5
+    unreachable = occ_r & (jnp.abs(tgt - own_axis) > 1)
+    dropped = dropped + jnp.sum(unreachable)
 
     # Masked-sum compaction (K fused reductions — avoids the tiny batched
     # matmul the one-hot einsum lowers to).
@@ -330,7 +372,7 @@ def _compact_stage(fields, occ, own_coord, target_coord, axis_roll,
 
 
 def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
-          spec: DenseSpec) -> DenseFluidState:
+          spec: DenseSpec, dim0_offset=0) -> DenseFluidState:
     """Move particles to their new home cells, one axis at a time (x, y, z).
 
     Per-step drift is ≤ 1 cell (the velocity clamp in dense_step enforces
@@ -341,40 +383,45 @@ def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
     """
     Z, Y, L = px.shape
     K = spec.k
-    X = spec.xdim
     org = spec.origin
+    wc = spec.world_cells()
 
-    cx = jnp.clip(((px - org[0]) / spec.cell).astype(jnp.int32), 0, X - 1)
-    cy = jnp.clip(((py - org[1]) / spec.cell).astype(jnp.int32), 0, Y - 1)
-    cz = (
-        jnp.clip(((pz - org[2]) / spec.cell).astype(jnp.int32), 0, Z - 1)
-        if spec.ndim == 3 else jnp.zeros_like(cx)
-    )
+    # World cell coordinates, then layout coordinates per axis_map.
+    cw = [
+        jnp.clip(((p - org[a]) / spec.cell).astype(jnp.int32), 0, wc[a] - 1)
+        if (spec.ndim == 3 or a != 2) else jnp.zeros_like(px, jnp.int32)
+        for a, p in enumerate((px, py, pz))
+    ]
+    c0 = cw[spec.axis_map[0]]
+    c1 = cw[spec.axis_map[1]]
+    c2 = cw[spec.axis_map[2]]
     dead = d.occ < 0.5
-    cx = jnp.where(dead, -9, cx)
-    cy = jnp.where(dead, -9, cy)
-    cz = jnp.where(dead, -9, cz)
+    c0 = jnp.where(dead, -9, c0)
+    c1 = jnp.where(dead, -9, c1)
+    c2 = jnp.where(dead, -9, c2)
 
     # Targets ride along as extra field columns so the stages permute them
     # together with the payload.
     fields = jnp.stack(
         [px, py, pz, vx, vy, vz,
-         cx.astype(jnp.float32), cy.astype(jnp.float32),
-         cz.astype(jnp.float32)],
+         c2.astype(jnp.float32), c1.astype(jnp.float32),
+         c0.astype(jnp.float32)],
         axis=-1,
     )
     occ = d.occ
-    own_x = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 2) // K
-    own_y = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 1)
-    own_z = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 0)
+    own_2 = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 2) // K
+    own_1 = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 1)
+    # dim0 indices are GLOBAL: sharded callers pass the slab's offset so
+    # migration targets (world cell coords) compare correctly.
+    own_0 = dim0_offset + jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 0)
 
     dropped = jnp.int32(0)
     stages = [
-        (own_x, 6, lambda a, s: _roll(a, 0, 0, s * K)),
-        (own_y, 7, lambda a, s: _roll(a, 0, s, 0)),
+        (own_2, 6, lambda a, s: _roll(a, 0, 0, s * K)),   # lane-cell axis
+        (own_1, 7, lambda a, s: _roll(a, 0, s, 0)),       # dim 1
     ]
-    if spec.ndim == 3:
-        stages.append((own_z, 8, lambda a, s: _roll(a, s, 0, 0)))
+    if spec.n0 > 1:
+        stages.append((own_0, 8, lambda a, s: _roll(a, s, 0, 0)))  # dim 0
     for own_coord, t_col, axis_roll in stages:
         target = fields[..., t_col].astype(jnp.int32)
         target = jnp.where(occ > 0.5, target, -9)
@@ -406,7 +453,7 @@ def dense_step(d: DenseFluidState, params: SPHParams,
     if params.use_pallas:
         from sph_tpu.ops.pallas.fluid import accel_pallas, density_pallas
 
-        rho = density_pallas(d.px, d.py, d.pz, params, spec)
+        rho = density_pallas(d.px, d.py, d.pz, d.occ, params, spec)
         rho = jnp.where(
             d.occ > 0.5, jnp.maximum(rho, 1e-6), params.rest_density
         )
@@ -420,14 +467,9 @@ def dense_step(d: DenseFluidState, params: SPHParams,
         d = d.replace_fields(rho=rho, prs=prs)
         ax, ay, az = accel_pass(d, params, spec)
 
-    px, py, pz, vx, vy, vz = _integrate(d, ax, ay, az, params)
-
-    if params.rebin_every > 1:
-        # Drift budget between rebins: (cell − h)/2 shared across R steps.
-        vmax = (spec.cell - params.h) * 0.5 / (params.rebin_every * params.dt)
-        speed = jnp.sqrt(vx * vx + vy * vy + vz * vz)
-        scale = jnp.minimum(1.0, vmax / jnp.maximum(speed, 1e-12))
-        vx, vy, vz = vx * scale, vy * scale, vz * scale
+    px, py, pz, vx, vy, vz = _integrate(
+        d, ax, ay, az, params, rebin_vmax(params, spec)
+    )
 
     def do_rebin(args):
         px, py, pz, vx, vy, vz = args
@@ -450,8 +492,17 @@ def dense_step(d: DenseFluidState, params: SPHParams,
 _DENSE_CACHE: dict = {}
 
 
+def _check_rebin_cadence(params: SPHParams, spec: DenseSpec):
+    if params.rebin_every > 1 and spec.cell <= params.h * 1.01:
+        raise ValueError(
+            "rebin_every > 1 needs cell_factor > 1 (stencil drift margin is "
+            f"(cell - h)/2 = {(spec.cell - params.h) / 2:.2e})"
+        )
+
+
 def make_dense_step(params: SPHParams, spec: DenseSpec, substeps: int = 1,
                     donate: bool = True):
+    _check_rebin_cadence(params, spec)
     key = (params, spec, substeps, donate)
     if key not in _DENSE_CACHE:
         def f(st):

@@ -118,7 +118,7 @@ def test_pallas_matches_xla_bit_exact():
     d = pack(state, params, spec)
     rho_x = jax.jit(lambda d: density_pass(d, params, spec))(d)
     rho_p = jax.jit(
-        lambda d: density_pallas(d.px, d.py, d.pz, params, spec)
+        lambda d: density_pallas(d.px, d.py, d.pz, d.occ, params, spec)
     )(d)
     rho_p = jnp.where(
         d.occ > 0.5, jnp.maximum(rho_p, 1e-6), params.rest_density
@@ -161,14 +161,15 @@ def test_rebin_conserves_and_relocates():
     m = np.asarray(m)
     L = spec.lanes
     lanes = np.arange(d2.px.size)
-    y_i = (lanes % (spec.ydim * L)) // L
-    x_i = (lanes % L) // spec.k
+    i1 = (lanes % (spec.n1 * L)) // L            # layout dim 1 (= world y, 2D)
+    i2 = (lanes % L) // spec.k                   # layout lane-cell (= world x)
     org = np.asarray(spec.origin)
     cc = np.clip(
         ((pos - org) / spec.cell).astype(int),
-        0, [spec.xdim - 1, spec.ydim - 1, spec.zdim - 1],
+        0, np.array(spec.world_cells()) - 1,
     )
-    assert (cc[m, 0] == x_i[m]).all() and (cc[m, 1] == y_i[m]).all()
+    assert (cc[m, spec.axis_map[2]] == i2[m]).all()
+    assert (cc[m, spec.axis_map[1]] == i1[m]).all()
 
 
 def test_dense_step_conserves_particles():

@@ -1,0 +1,112 @@
+"""Multi-device domain decomposition: sharded == single-device bit-for-bit
+on the virtual CPU mesh (SURVEY §4 item 4).
+
+One shared configuration for every test (the XLA-twin compile is expensive
+on CPU): k=4, cell_factor=1.3, rebin_every=3, random fluid with real
+interactions and cross-shard migration.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec
+
+from sph_tpu.parallel.dist import (
+    exchange_halo,
+    make_sharded_dense_step,
+    shard_dense_state,
+)
+from sph_tpu.sph.dense import make_dense_spec, pack, make_dense_step
+
+N_DEV = 4
+SUBSTEPS = 12
+
+
+def mesh_1d(n=N_DEV):
+    return Mesh(np.array(jax.devices()[:n]), ("x",))
+
+
+def random_fluid(n=400, seed=0):
+    """Random positions, ~0.35 particles per cell at cell_factor 1 (so k=4
+    never overflows even at cell_factor 1.3), real interactions, and random
+    velocities that push particles across shard boundaries."""
+    from sph_tpu.sph.model import SPHParams, SPHState
+
+    rng = np.random.default_rng(seed)
+    box = (1.0, 1.0, 1.0)
+    pos = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32) * np.asarray(box)
+    h = float((0.15 * 0.729 * np.prod(box) / n) ** (1 / 3))
+    params = SPHParams(
+        ndim=3, h=h, particle_mass=1000.0 * np.prod(box) / n,
+        bounds_min=(0.0, 0.0, 0.0), bounds_max=box,
+        dt=0.25 * h / 60.0, sound_speed=60.0, viscosity=0.05,
+        dense_k=4, cell_factor=1.3, use_pallas=False, rebin_every=3,
+    )
+    state = SPHState.from_positions(jnp.asarray(pos), params)
+    vel = jnp.asarray(rng.normal(0, 2.0, (n, 3)).astype(np.float32))
+    return state.replace_fields(vel=vel), params
+
+
+@pytest.fixture(scope="module")
+def runs():
+    import dataclasses
+
+    state, params = random_fluid(400)
+    spec = make_dense_spec(params, k=4, cell_factor=1.3)
+    spec = dataclasses.replace(spec, n0=-(-spec.n0 // N_DEV) * N_DEV)
+    d0 = pack(state, params, spec)
+    ref = make_dense_step(params, spec, substeps=SUBSTEPS, donate=False)(d0)
+    mesh = mesh_1d()
+    out = make_sharded_dense_step(
+        params, spec, mesh, substeps=SUBSTEPS, donate=False
+    )(shard_dense_state(d0, mesh))
+    return d0, ref, out
+
+
+def test_exchange_halo_ring():
+    mesh = mesh_1d(4)
+    arr = jnp.arange(8 * 2 * 4, dtype=jnp.float32).reshape(8, 2, 4)
+
+    def f(a):
+        return exchange_halo(a, "x")
+
+    out = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(PartitionSpec("x", None, None),),
+            out_specs=PartitionSpec("x", None, None),
+            check_vma=False,
+        )
+    )(arr)
+    out = np.asarray(out).reshape(4, 4, 2, 4)  # [dev, P+2, ...]
+    base = np.asarray(arr).reshape(4, 2, 2, 4)
+    for i in range(4):
+        np.testing.assert_array_equal(out[i, 1:-1], base[i])
+        np.testing.assert_array_equal(out[i, 0], base[(i - 1) % 4, -1])
+        np.testing.assert_array_equal(out[i, -1], base[(i + 1) % 4, 0])
+
+
+def test_sharded_matches_single_device(runs):
+    _, ref, out = runs
+    np.testing.assert_array_equal(np.asarray(ref.occ), np.asarray(out.occ))
+    np.testing.assert_array_equal(np.asarray(ref.px), np.asarray(out.px))
+    np.testing.assert_array_equal(np.asarray(ref.vy), np.asarray(out.vy))
+    np.testing.assert_array_equal(np.asarray(ref.rho), np.asarray(out.rho))
+
+
+def test_population_conserved_across_shards(runs):
+    d0, ref, out = runs
+    n0 = int(jnp.sum(d0.occ))
+    assert int(jnp.sum(out.occ)) == n0
+    assert int(out.dropped) == 0
+    assert int(ref.dropped) == 0
+
+
+def test_particles_actually_migrated(runs):
+    """The scenario must exercise cross-shard migration, or the equality
+    test proves nothing."""
+    d0, ref, _ = runs
+    occ0 = np.asarray(d0.occ).reshape(d0.occ.shape[0], -1).sum(1)
+    occ1 = np.asarray(ref.occ).reshape(ref.occ.shape[0], -1).sum(1)
+    assert (occ0 != occ1).any()
