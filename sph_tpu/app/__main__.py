@@ -1,0 +1,135 @@
+"""Command-line app: run fluid scenes or the cell-biology simulation,
+dump metrics and rendered frames.
+
+    python -m sph_tpu.app fluid --scene dam_break_3d --n 262144 \\
+        --steps 600 --render-every 100 --out out/
+    python -m sph_tpu.app cells --steps 600 --capacity 64 --render-every 100
+    python -m sph_tpu.app cells --scene-json scene.json --steps 100
+
+The viewer loop is headless-first (frames to disk); interaction is exposed
+through the library API (Simulation.pick / set_drag — the reference's mouse
+drag, ParticleSystemController.cs:975-1034).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def cmd_fluid(args) -> int:
+    from sph_tpu.engine.fluid import FluidSimulation
+
+    kwargs = {"n_target": args.n}
+    if args.scene == "dam_break_3d" and args.obstacle:
+        kwargs["obstacles"] = (("cylinder_z", (1.2, 0.15), 0.12),)
+    sim = FluidSimulation.from_scene(
+        args.scene, substeps=args.substeps, **kwargs
+    )
+    os.makedirs(args.out, exist_ok=True)
+    frame = 0
+    done = 0
+    while done < args.steps:
+        chunk = min(args.render_every or args.steps, args.steps - done)
+        sim.run(chunk)
+        done += chunk
+        m = sim.metrics()
+        print(json.dumps(m), flush=True)
+        if args.render_every:
+            path = os.path.join(args.out, f"frame_{frame:05d}.png")
+            sim.render_frame(path)
+            frame += 1
+    if args.checkpoint:
+        sim.save(args.checkpoint)
+        print(f"checkpoint written: {args.checkpoint}")
+    return 0
+
+
+def cmd_cells(args) -> int:
+    from sph_tpu.engine.config import (
+        load_scene,
+        reference_genome,
+        reference_scene_params,
+    )
+    from sph_tpu.engine.simulation import Simulation
+
+    if args.scene_json:
+        params, genome = load_scene(args.scene_json)
+    else:
+        genome = reference_genome()
+        params = reference_scene_params(capacity=args.capacity).replace(
+            dt=args.dt, max_splits_per_step=16,
+        )
+    sim = Simulation(genome, params, auto_grow=args.auto_grow)
+    os.makedirs(args.out, exist_ok=True)
+    frame = 0
+    done = 0
+    while done < args.steps:
+        chunk = min(args.render_every or args.steps, args.steps - done)
+        sim.run(chunk)
+        done += chunk
+        m = sim.metrics()
+        m["ids"] = sim.particle_ids()[:8]
+        print(json.dumps(m), flush=True)
+        if args.render_every:
+            from sph_tpu.render.camera import Camera
+            from sph_tpu.render.splat import render_points, save_image
+            import numpy as np
+            import jax.numpy as jnp
+
+            n = int(sim.state.active_count)
+            cam = Camera()
+            cam.focus_on((0, 0, 0), distance=3.0 * params.spawn_radius)
+            # Color by genome mode.
+            colors = jnp.asarray(
+                sim.genome_dev.mode_color[:, :3]
+            )[jnp.clip(sim.state.mode, 0, max(len(sim.genome.modes) - 1, 0))]
+            mask = jnp.arange(sim.state.capacity) < sim.state.active_count
+            img = render_points(
+                sim.state.pos, cam.view_params(), width=800, height=450,
+                colors=colors, mask=mask, splat_radius_px=4,
+            )
+            save_image(img, os.path.join(args.out, f"cells_{frame:05d}.png"))
+            frame += 1
+    if args.checkpoint:
+        sim.save(args.checkpoint)
+        print(f"checkpoint written: {args.checkpoint}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sph_tpu.app")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("fluid", help="run a WCSPH fluid scene")
+    f.add_argument("--scene", default="dam_break_3d",
+                   choices=["dam_break_2d", "splash_pour_2d", "dam_break_3d",
+                            "dam_break_3d_obstacle"])
+    f.add_argument("--n", type=int, default=65536)
+    f.add_argument("--steps", type=int, default=300)
+    f.add_argument("--substeps", type=int, default=10)
+    f.add_argument("--render-every", type=int, default=0)
+    f.add_argument("--obstacle", action="store_true")
+    f.add_argument("--out", default="out")
+    f.add_argument("--checkpoint", default="")
+    f.set_defaults(fn=cmd_fluid)
+
+    c = sub.add_parser("cells", help="run the cell-biology simulation")
+    c.add_argument("--capacity", type=int, default=64)
+    c.add_argument("--steps", type=int, default=600)
+    c.add_argument("--dt", type=float, default=1 / 60)
+    c.add_argument("--auto-grow", action="store_true")
+    c.add_argument("--scene-json", default="")
+    c.add_argument("--render-every", type=int, default=0)
+    c.add_argument("--out", default="out")
+    c.add_argument("--checkpoint", default="")
+    c.set_defaults(fn=cmd_cells)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,154 @@
+"""Host-facing fluid simulation API (the WCSPH counterpart of
+engine.simulation.Simulation): scene setup, stepping on the dense engine,
+metrics, checkpointing, and on-device rendering."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sph_tpu.sph.dense import (
+    DenseFluidState,
+    make_dense_spec,
+    make_dense_step,
+    pack,
+    unpack,
+)
+from sph_tpu.sph.model import SPHParams, SPHState
+
+
+class FluidSimulation:
+    """A running fluid simulation on the dense TPU engine.
+
+    >>> sim = FluidSimulation.from_scene("dam_break_3d", n_target=262144)
+    >>> sim.run(600)
+    >>> sim.render_frame("frame.png")
+    """
+
+    def __init__(self, state: SPHState, params: SPHParams,
+                 substeps: int = 10, donate: bool = True):
+        self.params = params
+        self.substeps = substeps
+        self.spec = make_dense_spec(
+            params, k=params.dense_k, cell_factor=params.cell_factor
+        )
+        self.dstate: DenseFluidState = pack(state, params, self.spec)
+        self._step = make_dense_step(
+            params, self.spec, substeps=substeps, donate=donate
+        )
+        self._steps_per_sec = float("nan")
+
+    @classmethod
+    def from_scene(cls, scene: str, substeps: int = 10, **scene_kwargs):
+        from sph_tpu.sph import scenes
+
+        builder = getattr(scenes, scene)
+        state, params = builder(**scene_kwargs)
+        return cls(state, params, substeps=substeps)
+
+    # -- stepping -------------------------------------------------------------
+
+    def run(self, n_steps: int) -> float:
+        """Run ≥ n_steps (rounded up to substep blocks); returns steps/sec."""
+        blocks = max(1, -(-n_steps // self.substeps))
+        t0 = time.perf_counter()
+        for _ in range(blocks):
+            self.dstate = self._step(self.dstate)
+        jax.block_until_ready(self.dstate.px)
+        n_done = blocks * self.substeps
+        dt = time.perf_counter() - t0
+        self._steps_per_sec = n_done / dt if dt > 0 else float("inf")
+        return self._steps_per_sec
+
+    # -- observability --------------------------------------------------------
+
+    def particles(self):
+        """(pos, vel, rho, prs) numpy arrays of alive particles."""
+        pos, vel, rho, prs, mask = unpack(self.dstate)
+        m = np.asarray(mask)
+        return (
+            np.asarray(pos)[m], np.asarray(vel)[m],
+            np.asarray(rho)[m], np.asarray(prs)[m],
+        )
+
+    def metrics(self) -> dict:
+        pos, vel, rho, _ = self.particles()
+        ke = float(
+            0.5 * self.params.particle_mass * np.sum(np.sum(vel ** 2, -1))
+        )
+        return {
+            "step": int(self.dstate.step_count),
+            "n_particles": int(pos.shape[0]),
+            "kinetic_energy": ke,
+            "mean_density": float(rho.mean()) if len(rho) else 0.0,
+            "max_density": float(rho.max()) if len(rho) else 0.0,
+            "max_speed": float(np.linalg.norm(vel, axis=-1).max()) if len(vel) else 0.0,
+            "dropped": int(self.dstate.dropped),
+            "steps_per_sec": self._steps_per_sec,
+        }
+
+    def render_frame(self, path: str | None = None, camera=None,
+                     width: int = 800, height: int = 450):
+        """On-device point splat of the current state; optionally saved."""
+        from sph_tpu.render.camera import Camera
+        from sph_tpu.render.splat import render_points, save_image
+
+        if camera is None:
+            lo = np.asarray(self.params.bounds_min)
+            hi = np.asarray(self.params.bounds_max)
+            center = (lo + hi) / 2
+            extent = float(np.linalg.norm(hi - lo))
+            camera = Camera(position=np.array(
+                [center[0], center[1] + 0.3 * extent, center[2] - 1.6 * extent],
+                np.float32,
+            ))
+            camera.focus_on(center, distance=1.6 * extent)
+        pos, _, rho, _, mask = unpack(self.dstate)
+        img = render_points(
+            pos, camera.view_params(), width=width, height=height, mask=mask,
+        )
+        if path:
+            save_image(img, path)
+        return img
+
+    # -- checkpoint / resume ---------------------------------------------------
+
+    def save(self, path: str) -> None:
+        flat = {
+            f.name: np.asarray(getattr(self.dstate, f.name))
+            for f in dataclasses.fields(DenseFluidState)
+        }
+        header = json.dumps({
+            "params": dataclasses.asdict(self.params),
+            "substeps": self.substeps,
+        })
+        np.savez_compressed(path, __header__=header, **flat)
+
+    @classmethod
+    def load(cls, path: str) -> "FluidSimulation":
+        with np.load(path, allow_pickle=False) as data:
+            header = json.loads(str(data["__header__"]))
+            flat = {k: data[k] for k in data.files if k != "__header__"}
+        params = SPHParams(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in header["params"].items()
+        })
+        sim = cls.__new__(cls)
+        sim.params = params
+        sim.substeps = header["substeps"]
+        sim.spec = make_dense_spec(
+            params, k=params.dense_k, cell_factor=params.cell_factor
+        )
+        sim.dstate = DenseFluidState(**{
+            k: jnp.asarray(v) for k, v in flat.items()
+        })
+        sim._step = make_dense_step(
+            params, sim.spec, substeps=sim.substeps, donate=True
+        )
+        sim._steps_per_sec = float("nan")
+        return sim

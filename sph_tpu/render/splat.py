@@ -1,0 +1,140 @@
+"""On-device point-splat rasterizer (BASELINE config[3]: "on-device
+point-splat render"; replaces the reference's instanced-sphere draw,
+InstancedParticles.shader + DrawMeshInstancedIndirect cs:344-347).
+
+TPU-native formulation: no per-pixel loops — points are projected, splatted
+as 1-pixel segment-sums keyed by pixel id (deterministic), then spread with a
+separable gaussian blur (dense convolutions). Depth shading uses a
+segment_min z-buffer. Everything stays on device; the host reads back only
+the final [H, W, 3] frame — the reference's per-frame readback of ALL
+particle state (cs:332-333) shrinks to one image.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def project_points(pos, eye, right, up, forward, tan_half_fov, width, height):
+    """World → pixel coordinates + camera-space depth."""
+    rel = pos - eye
+    x_cam = rel @ right
+    y_cam = rel @ up
+    z_cam = rel @ forward
+    safe_z = jnp.maximum(z_cam, 1e-6)
+    aspect = width / height
+    ndc_x = x_cam / (safe_z * tan_half_fov * aspect)
+    ndc_y = y_cam / (safe_z * tan_half_fov)
+    px = (ndc_x * 0.5 + 0.5) * (width - 1)
+    py = (1.0 - (ndc_y * 0.5 + 0.5)) * (height - 1)
+    visible = (z_cam > 1e-3) & (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    return px, py, z_cam, visible
+
+
+def _gaussian_kernel(radius_px: int):
+    x = jnp.arange(-radius_px, radius_px + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / max(radius_px * 0.5, 0.5)) ** 2)
+    return k / jnp.sum(k)
+
+
+def _blur(img, radius_px: int):
+    """Separable gaussian blur over [H, W, C] (two 1D convolutions)."""
+    if radius_px <= 0:
+        return img
+    k = _gaussian_kernel(radius_px)
+    n = k.shape[0]
+    c = img.shape[-1]
+    eye = jnp.eye(c, dtype=jnp.float32)
+
+    def conv(x, window):
+        kern = (k.reshape(-1, 1, 1) * eye[None]).reshape(*window, c, c)
+        return jax.lax.conv_general_dilated(
+            x[None], kern, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0]
+
+    img = conv(img, (1, n))
+    img = conv(img, (n, 1))
+    return img
+
+
+def render_points(
+    pos: jnp.ndarray,
+    camera_params,
+    width: int = 640,
+    height: int = 360,
+    colors: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
+    splat_radius_px: int = 2,
+    exposure: float | None = None,   # None = auto-gain from the brightest pixel
+    background: tuple[float, float, float] = (0.02, 0.02, 0.05),
+) -> jnp.ndarray:
+    """Additive point-splat image [H, W, 3] in [0, 1], fully on device.
+
+    camera_params: Camera.view_params() tuple. colors: [N, 3] per-particle
+    (defaults to depth-cued blue-white). mask: [N] bool for alive particles.
+    """
+    eye, right, up, forward, tanf = camera_params
+    eye = jnp.asarray(eye)
+    right = jnp.asarray(right)
+    up = jnp.asarray(up)
+    forward = jnp.asarray(forward)
+
+    px, py, z, visible = project_points(
+        pos, eye, right, up, forward, tanf, width, height
+    )
+    if mask is not None:
+        visible = visible & mask
+
+    if colors is None:
+        # Depth cue: near = bright cyan-white, far = deep blue.
+        t = jnp.clip(z / (jnp.max(jnp.where(visible, z, 0.0)) + 1e-6), 0, 1)
+        colors = jnp.stack(
+            [0.3 + 0.5 * (1 - t), 0.6 + 0.3 * (1 - t), 1.0 - 0.3 * t], axis=-1
+        )
+
+    ix = jnp.clip(px.astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(py.astype(jnp.int32), 0, height - 1)
+    pid = jnp.where(visible, iy * width + ix, width * height)
+
+    w = visible.astype(jnp.float32)
+    img_flat = jax.ops.segment_sum(
+        colors * w[:, None], pid, num_segments=width * height + 1
+    )[: width * height]
+    img = img_flat.reshape(height, width, 3)
+    img = _blur(img, splat_radius_px)
+    if exposure is None:
+        # Auto gain: brightest pixel maps to ~0.86 after the tone curve,
+        # keeping sparse scenes visible and dense ones unsaturated.
+        exposure = 2.0 / jnp.maximum(jnp.max(img), 1e-6)
+    img = 1.0 - jnp.exp(-exposure * img)  # soft tone map
+    bg = jnp.asarray(background, jnp.float32)
+    alpha = jnp.clip(img.max(axis=-1, keepdims=True) * 4.0, 0.0, 1.0)
+    return img + (1.0 - alpha) * bg
+
+
+def zbuffer(pos, camera_params, width=640, height=360, mask=None):
+    """Nearest-depth z-buffer [H, W] via segment_min (inf = empty)."""
+    eye, right, up, forward, tanf = camera_params
+    px, py, z, visible = project_points(
+        pos, jnp.asarray(eye), jnp.asarray(right), jnp.asarray(up),
+        jnp.asarray(forward), tanf, width, height,
+    )
+    if mask is not None:
+        visible = visible & mask
+    ix = jnp.clip(px.astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(py.astype(jnp.int32), 0, height - 1)
+    pid = jnp.where(visible, iy * width + ix, width * height)
+    zed = jnp.where(visible, z, jnp.inf)
+    zb = jax.ops.segment_min(zed, pid, num_segments=width * height + 1)
+    return zb[: width * height].reshape(height, width)
+
+
+def save_image(img, path: str) -> None:
+    """Write an [H, W, 3] float image to PNG."""
+    from PIL import Image
+
+    arr = np.asarray(jnp.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)

@@ -1,0 +1,96 @@
+"""On-device point-splat rasterizer + camera tests (reference L4/L5
+parity surface: instanced render cs:344-347, CameraFly.cs)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sph_tpu.render.camera import Camera
+from sph_tpu.render.splat import project_points, render_points, zbuffer
+
+
+def straight_camera():
+    cam = Camera(position=np.array([0.0, 0.0, -10.0], np.float32))
+    cam.yaw = 0.0
+    cam.pitch = 0.0
+    return cam
+
+
+def test_projection_center_and_offsets():
+    cam = straight_camera()
+    eye, r, u, f, tanf = cam.view_params()
+    pos = jnp.array([
+        [0.0, 0.0, 0.0],     # straight ahead → image center
+        [1.0, 0.0, 0.0],     # right of camera → right of center
+        [0.0, 1.0, 0.0],     # above → upper half (smaller py)
+        [0.0, 0.0, -20.0],   # behind the camera → invisible
+    ])
+    px, py, z, vis = project_points(
+        pos, jnp.asarray(eye), jnp.asarray(r), jnp.asarray(u),
+        jnp.asarray(f), tanf, 200, 100,
+    )
+    assert abs(float(px[0]) - 99.5) < 1.0 and abs(float(py[0]) - 49.5) < 1.0
+    assert float(px[1]) > float(px[0])
+    assert float(py[2]) < float(py[0])
+    assert bool(vis[0]) and bool(vis[1]) and bool(vis[2]) and not bool(vis[3])
+
+
+def test_render_points_lights_up_particle_pixels():
+    cam = straight_camera()
+    pos = jnp.array([[0.0, 0.0, 0.0]])
+    img = render_points(pos, cam.view_params(), width=64, height=64,
+                        splat_radius_px=2, background=(0.0, 0.0, 0.0))
+    img = np.asarray(img)
+    assert img.shape == (64, 64, 3)
+    cy, cx = np.unravel_index(img.sum(-1).argmax(), (64, 64))
+    assert abs(cx - 31.5) < 3 and abs(cy - 31.5) < 3
+    # Corners stay background-dark.
+    assert img[0, 0].sum() < 0.05
+
+
+def test_render_mask_and_determinism():
+    cam = straight_camera()
+    key_pos = jnp.array([[0.0, 0.0, 0.0], [50.0, 50.0, 0.0]])
+    mask = jnp.array([True, False])
+    img1 = render_points(key_pos, cam.view_params(), width=64, height=64,
+                         mask=mask)
+    img2 = render_points(key_pos, cam.view_params(), width=64, height=64,
+                         mask=mask)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+
+
+def test_zbuffer_nearest():
+    cam = straight_camera()
+    pos = jnp.array([[0.0, 0.0, 0.0], [0.0, 0.0, 5.0]])  # same ray, z=10/15
+    zb = np.asarray(zbuffer(pos, cam.view_params(), width=32, height=32))
+    assert abs(zb.min() - 10.0) < 1e-3  # nearest wins
+
+
+def test_camera_pitch_clamp_and_move():
+    cam = Camera()
+    cam.look(0.0, 1000.0)
+    assert cam.pitch == 80.0  # CameraFly.cs ±80° clamp
+    p0 = cam.position.copy()
+    cam.move(1.0, forward=1.0)
+    assert np.linalg.norm(cam.position - p0) > 0
+    cam.move(1.0, forward=1.0, sprint=True)  # sprint moves farther
+    d1 = np.linalg.norm(cam.position - p0)
+    assert d1 > cam.move_speed  # > one non-sprint step
+
+
+def test_camera_focus_on_looks_at_target():
+    cam = Camera(position=np.array([5.0, 3.0, -20.0], np.float32))
+    cam.focus_on((1.0, 2.0, 3.0), distance=7.0)
+    _, _, f = cam.basis()
+    to_target = np.array([1.0, 2.0, 3.0]) - cam.position
+    assert abs(np.linalg.norm(to_target) - 7.0) < 1e-3
+    cos = to_target @ f / np.linalg.norm(to_target)
+    assert cos > 0.999
+
+
+def test_camera_orbit_keeps_distance():
+    cam = Camera(position=np.array([0.0, 0.0, -15.0], np.float32))
+    cam.toggle_orbit(target=(0.0, 0.0, 0.0))
+    for _ in range(10):
+        cam.orbit(0.1)
+        d = np.linalg.norm(cam.position - cam.orbit_target)
+        assert abs(d - 15.0) < 1e-3
