@@ -1,0 +1,8 @@
+from sph_tpu.native.golden import (  # noqa: F401
+    adhesion_deltas_native,
+    contact_forces_native,
+    ensure_built,
+    sph_density_accel_native,
+    update_motion_native,
+    update_rotation_native,
+)
