@@ -52,16 +52,17 @@ def _bench_dense(n_target: int, steps: int = 30, substeps: int = 15,
     }
 
 
-def _bench_2d(n_target: int, grid: bool, steps: int = 20):
+def _bench_2d_bruteforce(n_target: int, steps: int = 20):
+    """Config[0]: the O(N²) executable-spec path (CPU JAX reference per
+    BASELINE; slow by design)."""
     from sph_tpu.sph.model import make_sph_step
-    from sph_tpu.sph.scenes import dam_break_2d, splash_pour_2d
+    from sph_tpu.sph.scenes import dam_break_2d
 
-    scene = splash_pour_2d if grid else dam_break_2d
-    state, params = scene(n_target=n_target)
+    state, params = dam_break_2d(n_target=n_target)
     N = state.pos.shape[0]
     f = make_sph_step(params, donate=True, substeps=steps)
     state = f(state)
-    jnp.sum(state.pos).block_until_ready()
+    float(jnp.sum(state.pos))
     t0 = time.perf_counter()
     state = f(state)
     float(jnp.sum(state.pos))
@@ -70,11 +71,38 @@ def _bench_2d(n_target: int, grid: bool, steps: int = 20):
             "particle_steps_per_sec": round(sps * N, 0)}
 
 
+def _bench_2d_dense(n_target: int, steps: int = 60, substeps: int = 30):
+    """Config[1]: 2D splash/pour on the dense spatial-hash grid engine."""
+    from sph_tpu.sph.dense import make_dense_spec, pack, make_dense_step
+    from sph_tpu.sph.scenes import splash_pour_2d
+
+    state, params = splash_pour_2d(n_target=n_target)
+    params = params.replace(cell_factor=1.2, dense_k=8, rebin_every=3,
+                            use_pallas=True)
+    spec = make_dense_spec(params, k=8, cell_factor=1.2)
+    N = state.pos.shape[0]
+    d = pack(state, params, spec)
+    f = make_dense_step(params, spec, substeps=substeps, donate=True)
+    red = jax.jit(lambda s: (jnp.sum(s.occ), s.dropped))
+    d = f(d)
+    _ = [float(x) for x in red(d)]
+    best = 0.0
+    for _i in range(max(1, steps // substeps)):
+        t0 = time.perf_counter()
+        d = f(d)
+        _ = [float(x) for x in red(d)]
+        best = max(best, substeps / (time.perf_counter() - t0))
+    n_alive, dropped = (float(x) for x in red(d))
+    return {"steps_per_sec": round(best, 2), "n_particles": N,
+            "particle_steps_per_sec": round(best * N, 0),
+            "alive": int(n_alive), "dropped": int(dropped)}
+
+
 CONFIGS = {
-    0: ("2D dam-break 4k (sorted-grid reference path)",
-        lambda: _bench_2d(4096, grid=False)),
-    1: ("2D splash/pour 32k (sorted-grid path)",
-        lambda: _bench_2d(32768, grid=True)),
+    0: ("2D dam-break 4k (brute-force executable spec)",
+        lambda: _bench_2d_bruteforce(4096)),
+    1: ("2D splash/pour 32k (dense grid + Pallas)",
+        lambda: _bench_2d_dense(32768)),
     2: ("3D dam-break 256k (dense grid + Pallas)",
         lambda: _bench_dense(262144)),
     3: ("3D dam-break + SDF obstacle 1M (dense grid + Pallas)",
@@ -89,6 +117,8 @@ def main():
     ap.add_argument("--config", type=int, default=2,
                     choices=sorted(CONFIGS), help="ladder rung to run")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also report per-phase ms (grid build vs force sum)")
     args = ap.parse_args()
 
     if args.all:
@@ -104,6 +134,18 @@ def main():
         head_name, fn = CONFIGS[args.config]
         head = fn()
         detail = {head_name: head}
+
+    if args.breakdown:
+        from sph_tpu.sph.dense import make_dense_spec, pack
+        from sph_tpu.sph.scenes import dam_break_3d
+        from sph_tpu.utils.profiling import step_breakdown
+
+        st, prm = dam_break_3d(n_target=262144)
+        prm = prm.replace(cell_factor=1.2, dense_k=8, rebin_every=3)
+        spc = make_dense_spec(prm, k=8, cell_factor=1.2)
+        detail["phase_breakdown_256k"] = step_breakdown(
+            pack(st, prm, spc), prm, spc
+        )
 
     psps = head.get("particle_steps_per_sec", 0.0)
     print(json.dumps({

@@ -60,14 +60,13 @@ def tile_occupancy(occ: jnp.ndarray) -> jnp.ndarray:
     return (t > 0.5).astype(jnp.int32)[:, None, :]
 
 
-def _density_kernel(*refs, h2: float, coeff: float, k: int, ndim: int,
-                    nb: int):
+def _density_kernel(*refs, h2: float, coeff: float, k: int, n_z: int,
+                    dys: tuple, nb: int):
     """refs: occ_tile, then px/py/pz × (z−1, z, z+1) planes, then out.
 
     The z-plane loop is outermost and only ONE z-plane's padded copies are
     live at a time (VMEM headroom at 1M+ scales); contributions accumulate
     into the output ref."""
-    n_z = 3 if ndim == 3 else 1
     occ_t = refs[0]
     planes = refs[1:1 + 3 * n_z]
     out = refs[1 + 3 * n_z]
@@ -84,7 +83,7 @@ def _density_kernel(*refs, h2: float, coeff: float, k: int, ndim: int,
                 cy = planes[1 * n_z + mid][0][r0:r0 + TB]
                 cz = planes[2 * n_z + mid][0][r0:r0 + TB]
                 acc = out[0, r0:r0 + TB, :]
-                for dy in (-1, 0, 1):
+                for dy in dys:
                     rs = r0 + 1 + dy
                     qx = _roll_lanes(pads[0][rs:rs + TB], -(2 * k - 1))
                     qy = _roll_lanes(pads[1][rs:rs + TB], -(2 * k - 1))
@@ -109,10 +108,9 @@ def _density_kernel(*refs, h2: float, coeff: float, k: int, ndim: int,
 
 
 def _accel_kernel(*refs, h: float, m: float, spiky_c: float, visc_mc: float,
-                  k: int, ndim: int, nb: int):
+                  k: int, n_z: int, dys: tuple, nb: int):
     """refs: occ_tile, (px,py,pz,vx,vy,vz,rho,pr2) × z-planes, ax, ay, az.
     Same z-outer accumulate-into-output structure as the density kernel."""
-    n_z = 3 if ndim == 3 else 1
     occ_t = refs[0]
     planes = refs[1:1 + 8 * n_z]
     ax_ref, ay_ref, az_ref = refs[1 + 8 * n_z:1 + 8 * n_z + 3]
@@ -138,7 +136,7 @@ def _accel_kernel(*refs, h: float, m: float, spiky_c: float, visc_mc: float,
                 ay = ay_ref[0, r0:r0 + TB, :]
                 az = az_ref[0, r0:r0 + TB, :]
                 pre = -(2 * k - 1)
-                for dy in (-1, 0, 1):
+                for dy in dys:
                     rs = r0 + 1 + dy
                     carry = tuple(
                         _roll_lanes(pads[f][rs:rs + TB], pre)
@@ -182,11 +180,11 @@ def _accel_kernel(*refs, h: float, m: float, spiky_c: float, visc_mc: float,
                 az_ref[0, r0:r0 + TB, :] = az
 
 
-def _plane_specs(n_fields: int, N0: int, N1: int, L: int, ndim: int):
+def _plane_specs(n_fields: int, N0: int, N1: int, L: int, stencil0: bool):
     """One BlockSpec per (field, dim0-offset): block = one plane [1, N1, L].
     ±1 offsets clamp into the sentinel margin at the boundary (harmless)."""
     specs = []
-    offsets = (-1, 0, 1) if ndim == 3 else (0,)
+    offsets = (-1, 0, 1) if stencil0 else (0,)
     for _field in range(n_fields):
         for dz in offsets:
             specs.append(
@@ -217,15 +215,16 @@ def density_pallas(px, py, pz, occ, params, spec) -> jnp.ndarray:
     coeff = float(
         params.particle_mass * KN.poly6_coeff(params.h, params.ndim)
     )
+    n_z = 3 if spec.stencil0 else 1
+    dys = (-1, 0, 1) if spec.stencil1 else (0,)
     kernel = functools.partial(
-        _density_kernel, h2=h2, coeff=coeff, k=spec.k, ndim=params.ndim, nb=nb
+        _density_kernel, h2=h2, coeff=coeff, k=spec.k, n_z=n_z, dys=dys, nb=nb
     )
-    n_z = 3 if params.ndim == 3 else 1
-    flops_per = 14 * (3 * n_z * (4 * spec.k - 1))
+    flops_per = 14 * (n_z * len(dys) * (4 * spec.k - 1))
     return pl.pallas_call(
         kernel,
         grid=(N0,),
-        in_specs=[_occ_spec(nb)] + _plane_specs(3, N0, N1, L, params.ndim),
+        in_specs=[_occ_spec(nb)] + _plane_specs(3, N0, N1, L, spec.stencil0),
         out_specs=pl.BlockSpec(
             (1, N1, L), lambda z: (z, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -248,19 +247,20 @@ def accel_pallas(d, pr2, params, spec):
         params.viscosity * params.particle_mass
         * KN.viscosity_lap_coeff(params.h, params.ndim)
     )
+    n_z = 3 if spec.stencil0 else 1
+    dys = (-1, 0, 1) if spec.stencil1 else (0,)
     kernel = functools.partial(
         _accel_kernel,
         h=params.h, m=params.particle_mass,
         spiky_c=float(KN.spiky_grad_coeff(params.h, params.ndim)),
-        visc_mc=visc_mc, k=spec.k, ndim=params.ndim, nb=nb,
+        visc_mc=visc_mc, k=spec.k, n_z=n_z, dys=dys, nb=nb,
     )
-    n_z = 3 if params.ndim == 3 else 1
     fields = (d.px, d.py, d.pz, d.vx, d.vy, d.vz, d.rho, pr2)
-    flops_per = 35 * (3 * n_z * (4 * spec.k - 1))
+    flops_per = 35 * (n_z * len(dys) * (4 * spec.k - 1))
     out = pl.pallas_call(
         kernel,
         grid=(N0,),
-        in_specs=[_occ_spec(nb)] + _plane_specs(8, N0, N1, L, params.ndim),
+        in_specs=[_occ_spec(nb)] + _plane_specs(8, N0, N1, L, spec.stencil0),
         out_specs=[
             pl.BlockSpec((1, N1, L), lambda z: (z, 0, 0),
                          memory_space=pltpu.VMEM)

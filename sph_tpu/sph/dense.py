@@ -62,6 +62,10 @@ class DenseSpec:
     origin: tuple[float, float, float]  # WORLD corner of cell (0,0,0)
     ndim: int
     axis_map: tuple[int, int, int] = (0, 1, 2)  # world axis per layout dim
+    # Whether the stencil needs ±1 offsets along layout dims 0/1 (False when
+    # the mapped world axis has a single real cell, e.g. z in 2D).
+    stencil0: bool = True
+    stencil1: bool = True
 
     @property
     def lanes(self) -> int:
@@ -94,7 +98,9 @@ def make_dense_spec(params: SPHParams, k: int = 8,
         wc = [ncells(0), ncells(1), ncells(2)]
         origin = (lo[0] - cell, lo[1] - cell, lo[2] - cell)
     else:
-        axis_map = (2, 1, 0)          # [1, Y, X·K]
+        # 2D: [Y, Z(=1, padded to 8 sentinel rows), X·K] — keeps planes tiny
+        # (VMEM) and puts the y stencil on the plane axis.
+        axis_map = (1, 2, 0)
         wc = [ncells(0), ncells(1), 1]
         origin = (lo[0] - cell, lo[1] - cell, 0.0)
 
@@ -105,6 +111,7 @@ def make_dense_spec(params: SPHParams, k: int = 8,
     return DenseSpec(
         n0=n0, n1=n1, n2=n2, k=k, cell=cell, origin=origin,
         ndim=params.ndim, axis_map=axis_map,
+        stencil0=wc[axis_map[0]] > 1, stencil1=wc[axis_map[1]] > 1,
     )
 
 
@@ -184,13 +191,15 @@ def unpack(dstate: DenseFluidState):
 
 
 def _variants(spec: DenseSpec):
-    """All (dz, dy, D) stencil roll offsets."""
+    """All (d0, d1, D) stencil roll offsets (±1 only along layout dims whose
+    world axis has more than one cell)."""
     k = spec.k
-    dzs = (-1, 0, 1) if spec.ndim == 3 else (0,)
+    dzs = (-1, 0, 1) if spec.stencil0 else (0,)
+    dys = (-1, 0, 1) if spec.stencil1 else (0,)
     return [
         (dz, dy, D)
         for dz in dzs
-        for dy in (-1, 0, 1)
+        for dy in dys
         for D in range(-(2 * k - 1), 2 * k)
     ]
 
@@ -418,9 +427,10 @@ def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
     dropped = jnp.int32(0)
     stages = [
         (own_2, 6, lambda a, s: _roll(a, 0, 0, s * K)),   # lane-cell axis
-        (own_1, 7, lambda a, s: _roll(a, 0, s, 0)),       # dim 1
     ]
-    if spec.n0 > 1:
+    if spec.stencil1:
+        stages.append((own_1, 7, lambda a, s: _roll(a, 0, s, 0)))  # dim 1
+    if spec.stencil0:
         stages.append((own_0, 8, lambda a, s: _roll(a, s, 0, 0)))  # dim 0
     for own_coord, t_col, axis_roll in stages:
         target = fields[..., t_col].astype(jnp.int32)
