@@ -329,15 +329,18 @@ def _integrate(d: DenseFluidState, ax, ay, az, params: SPHParams,
     return px, py, pz, vx, vy, vz
 
 
-def _compact_stage(fields, occ, own_coord, target_coord, axis_roll,
+def _compact_stage(fields, occ, own_coord, target_fn, axis_roll,
                    spec: DenseSpec):
     """One axis pass of the staged rebin: candidates are the own cell plus
     its two axis-neighbors; a candidate wants this cell when its target
     coordinate along the axis equals the cell's. Compacts the ≤3K wanting
     candidates into K lanes (deterministic shift-major order).
 
-    fields: [Z, Y, L, F]; axis_roll(a, step) rolls array `a` by `step` cells
-    along the stage axis. Returns (fields, occ, dropped).
+    fields: [Z, Y, L, F]; axis_roll(a, step) rolls array `a` by `step`
+    cells along the stage axis; target_fn(rolled_fields, rolled_occ)
+    recomputes the stage-axis target cell from the rolled positions —
+    cheaper than carrying target columns through every stage. Returns
+    (fields, occ, dropped).
     """
     Z, Y, L = occ.shape
     K = spec.k
@@ -348,7 +351,7 @@ def _compact_stage(fields, occ, own_coord, target_coord, axis_roll,
     for step in (-1, 0, 1):
         sf = axis_roll(fields, step)
         so = axis_roll(occ, step)
-        st = axis_roll(target_coord, step)
+        st = target_fn(sf, so)
         wants = (st == own_coord) & (so > 0.5)
         cand_blocks.append(sf.reshape(Z, Y, X, K, F))
         want_blocks.append(wants.reshape(Z, Y, X, K))
@@ -362,7 +365,7 @@ def _compact_stage(fields, occ, own_coord, target_coord, axis_roll,
     # no cell in the sweep and would vanish silently: count it. (The
     # rebin_vmax clamp makes this impossible in normal operation.)
     own_axis = own_coord.reshape(Z, Y, X, K)[..., :1]
-    tgt = target_coord.reshape(Z, Y, X, K)
+    tgt = target_fn(fields, occ).reshape(Z, Y, X, K)
     occ_r = occ.reshape(Z, Y, X, K) > 0.5
     unreachable = occ_r & (jnp.abs(tgt - own_axis) > 1)
     dropped = dropped + jnp.sum(unreachable)
@@ -395,28 +398,25 @@ def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
     org = spec.origin
     wc = spec.world_cells()
 
-    # World cell coordinates, then layout coordinates per axis_map.
-    cw = [
-        jnp.clip(((p - org[a]) / spec.cell).astype(jnp.int32), 0, wc[a] - 1)
-        if (spec.ndim == 3 or a != 2) else jnp.zeros_like(px, jnp.int32)
-        for a, p in enumerate((px, py, pz))
-    ]
-    c0 = cw[spec.axis_map[0]]
-    c1 = cw[spec.axis_map[1]]
-    c2 = cw[spec.axis_map[2]]
-    dead = d.occ < 0.5
-    c0 = jnp.where(dead, -9, c0)
-    c1 = jnp.where(dead, -9, c1)
-    c2 = jnp.where(dead, -9, c2)
+    def coord_fn(world_axis):
+        """Stage target: world cell coordinate of that axis, recomputed from
+        the rolled positions (dead lanes → impossible cell)."""
+        o = org[world_axis]
+        n_cells = wc[world_axis]
 
-    # Targets ride along as extra field columns so the stages permute them
-    # together with the payload.
-    fields = jnp.stack(
-        [px, py, pz, vx, vy, vz,
-         c2.astype(jnp.float32), c1.astype(jnp.float32),
-         c0.astype(jnp.float32)],
-        axis=-1,
-    )
+        def fn(sf, so):
+            if spec.ndim == 2 and world_axis == 2:
+                c = jnp.zeros(so.shape, jnp.int32)
+            else:
+                p = sf[..., world_axis]
+                c = jnp.clip(
+                    ((p - o) / spec.cell).astype(jnp.int32), 0, n_cells - 1
+                )
+            return jnp.where(so > 0.5, c, -9)
+
+        return fn
+
+    fields = jnp.stack([px, py, pz, vx, vy, vz], axis=-1)
     occ = d.occ
     own_2 = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 2) // K
     own_1 = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 1)
@@ -426,17 +426,18 @@ def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
 
     dropped = jnp.int32(0)
     stages = [
-        (own_2, 6, lambda a, s: _roll(a, 0, 0, s * K)),   # lane-cell axis
+        (own_2, coord_fn(spec.axis_map[2]),
+         lambda a, s: _roll(a, 0, 0, s * K)),              # lane-cell axis
     ]
     if spec.stencil1:
-        stages.append((own_1, 7, lambda a, s: _roll(a, 0, s, 0)))  # dim 1
+        stages.append((own_1, coord_fn(spec.axis_map[1]),
+                       lambda a, s: _roll(a, 0, s, 0)))    # dim 1
     if spec.stencil0:
-        stages.append((own_0, 8, lambda a, s: _roll(a, s, 0, 0)))  # dim 0
-    for own_coord, t_col, axis_roll in stages:
-        target = fields[..., t_col].astype(jnp.int32)
-        target = jnp.where(occ > 0.5, target, -9)
+        stages.append((own_0, coord_fn(spec.axis_map[0]),
+                       lambda a, s: _roll(a, s, 0, 0)))    # dim 0
+    for own_coord, target_fn, axis_roll in stages:
         fields, occ, drp = _compact_stage(
-            fields, occ, own_coord, target, axis_roll, spec
+            fields, occ, own_coord, target_fn, axis_roll, spec
         )
         dropped = dropped + drp
 
