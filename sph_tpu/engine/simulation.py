@@ -199,6 +199,53 @@ class Simulation:
         ct = np.asarray(self.state.child_type[:n])
         return [formatted_id(pu[i], u[i], ct[i]) for i in range(n)]
 
+    def bond_lines(self) -> list[dict]:
+        """Bond visualization channels (CellAdhesionManager.UpdateBondVisuals,
+        CAM:245-304): per active bond, endpoint positions, midpoint, zone
+        colors for each half-segment (with the reference's A/B color swap,
+        CAM:275-276), and world-space anchor endpoints for the white
+        anchor-to-anchor line."""
+        from sph_tpu.core import quat
+
+        st = self.state
+        b = st.bonds
+        active = np.asarray(b.active)
+        out = []
+        # Reference inspector defaults: zoneA green, zoneB blue, zoneC red —
+        # with the swap, ZoneB renders green and ZoneA blue (CAM:275).
+        zone_color = {1: (0, 1, 0), 0: (0, 0, 1), 2: (1, 0, 0)}
+        pos = np.asarray(st.pos)
+        rot = np.asarray(st.rot)
+        for i in np.nonzero(active)[0]:
+            ia, ib = int(b.slot_a[i]), int(b.slot_b[i])
+            pa, pb = pos[ia], pos[ib]
+            anchor_a = pa + np.asarray(
+                quat.rotate(rot[ia], np.asarray(b.anchor_a[i]))
+            )
+            anchor_b = pb + np.asarray(
+                quat.rotate(rot[ib], np.asarray(b.anchor_b[i]))
+            )
+            out.append({
+                "a": pa.tolist(), "b": pb.tolist(),
+                "midpoint": ((pa + pb) / 2).tolist(),
+                "color_a": zone_color[int(b.zone_a[i])],
+                "color_b": zone_color[int(b.zone_b[i])],
+                "anchor_a": anchor_a.tolist(),
+                "anchor_b": anchor_b.tolist(),
+                "child_to_child": bool(b.child_to_child[i]),
+            })
+        return out
+
+    def forward_axes(self) -> np.ndarray:
+        """Per-particle +Z body axis in world space — the data behind the
+        reference's red forward-axis dot (InstancedParticles.shader:171-175)."""
+        from sph_tpu.core import quat
+
+        n = int(self.state.active_count)
+        return np.asarray(
+            quat.rotate(self.state.rot[:n], jnp.array([0.0, 0.0, 1.0]))
+        )
+
     def metrics(self) -> dict:
         """Structured per-step metrics (SURVEY §5.5 rebuild plan)."""
         st = self.state

@@ -1,0 +1,59 @@
+"""End-to-end reference-scenario trace regression (SURVEY §4 item 5).
+
+The golden file is the framework's parity artifact: population / bond /
+kinetic-energy / spatial-extent traces of the reference scenario (1 cell,
+NewCellGenome params, dt = 1/60) over 40 sim-seconds. Any semantic change to
+division, adhesion, or the contact model shows up here. Regenerate with
+tools/make_golden_trace.py after an intentional change.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "reference_scenario_trace.json"
+)
+
+
+def test_reference_scenario_trace_matches_golden():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_golden_trace import make_trace
+
+    golden = json.load(open(GOLDEN))
+    trace = make_trace()
+    assert len(trace) == len(golden)
+    for got, want in zip(trace, golden):
+        assert got["step"] == want["step"]
+        # Exact discrete quantities.
+        assert got["n"] == want["n"], got["step"]
+        assert got["bonds"] == want["bonds"], got["step"]
+        assert got["next_uid"] == want["next_uid"], got["step"]
+        # Float traces: tight tolerance (platform-identical runs are
+        # bit-equal; allow headroom for compiler updates).
+        np.testing.assert_allclose(
+            got["kinetic_energy"], want["kinetic_energy"],
+            rtol=5e-3, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            got["mean_radius_from_origin"], want["mean_radius_from_origin"],
+            rtol=1e-3,
+        )
+
+
+def test_population_growth_schedule():
+    """Structural check, fast: population doubles every 5 sim-seconds
+    (splitInterval=5, cs:659), processed one step after detection."""
+    golden = json.load(open(GOLDEN))
+    by_step = {g["step"]: g["n"] for g in golden}
+    # Divisions are detected at t = k·5 s (step 300k) and processed one
+    # step later (the reference's one-frame deferral), so the sample AT
+    # step 300k still shows the old population.
+    assert by_step[1200] == 8 and by_step[1250] == 16
+    assert by_step[2400] == 128
+    # uid counter: 2 new ids per division, never reused.
+    assert golden[-1]["next_uid"] == 255
