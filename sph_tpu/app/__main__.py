@@ -76,7 +76,6 @@ def cmd_cells(args) -> int:
         if args.render_every:
             from sph_tpu.render.camera import Camera
             from sph_tpu.render.splat import render_points, save_image
-            import numpy as np
             import jax.numpy as jnp
 
             n = int(sim.state.active_count)

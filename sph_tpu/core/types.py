@@ -12,7 +12,7 @@ reference's `activeParticleCount` guard idiom (SimulateParticles.compute:121).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 from typing import Any
 
 import jax

@@ -22,7 +22,7 @@ from sph_tpu.core.types import (
     SimState,
     formatted_id,
 )
-from sph_tpu.engine.step import make_step_fn, step as step_fn
+from sph_tpu.engine.step import make_step_fn
 
 
 class Simulation:

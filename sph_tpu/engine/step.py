@@ -8,7 +8,6 @@ one `step(state, params, genome) -> state` under jit. Order per DESIGN.md §3.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from sph_tpu.biology.bonds import filter_bonds, update_bond_zones
 from sph_tpu.biology.division import process_pending_splits, queue_splits

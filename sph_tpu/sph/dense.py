@@ -19,10 +19,10 @@ sorts in the hot loop:
   a few lanes into x±2, whose distance ≥ cell ≥ h, so the kernel support test
   rejects them — that is why cell_size ≥ h is required). Rolls wrap into the
   margin ring, which is sentinel, so wraps are inert too.
-- Rebinning: particles move ≤ 1 cell per step (CFL keeps v·dt ≤ 0.25·h <
-  cell). A batched one-hot matmul (MXU) compacts, per cell, the ≤ 27·K
-  stencil candidates that now belong to it into K lanes. Overflow is counted
-  and surfaced, never silent.
+- Rebinning: particles move ≤ 1 cell per rebin (the `rebin_vmax` clamp
+  enforces it), so migration decomposes into one masked ≤3K→K compaction per
+  axis (shift-major deterministic order). Cell overflow and unreachable
+  targets are counted in `dropped`, never silent.
 
 This replaces the reference's atomic linked-list grid + per-thread neighbor
 walk (SimulateParticles.compute:196-300) with a formulation XLA can stream.
@@ -31,7 +31,6 @@ walk (SimulateParticles.compute:196-300) with a formulation XLA can stream.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from sph_tpu.biology.bonds import (
 )
 from sph_tpu.core import quat
 from sph_tpu.core.types import Genome, GenomeMode, SimParams, SimState
-from sph_tpu.engine.step import step
 
 
 @pytest.mark.parametrize(

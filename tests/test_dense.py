@@ -4,7 +4,6 @@ Pallas-vs-XLA bit equality (interpret mode), rebin conservation, stepping."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from sph_tpu.sph.dense import (
     make_dense_spec,

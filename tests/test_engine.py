@@ -1,11 +1,9 @@
 """End-to-end engine tests: reference scenario, checkpoint round-trip,
 drag, genome hot-reload, resize, config I/O."""
 
-import jax.numpy as jnp
 import numpy as np
 
 from sph_tpu import Simulation
-from sph_tpu.core.types import SimParams
 from sph_tpu.engine.config import (
     genome_from_json,
     genome_to_json,

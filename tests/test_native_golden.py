@@ -4,7 +4,6 @@ implementations of the executable spec must agree (SURVEY §4 item 1)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from sph_tpu.core.types import Genome, GenomeMode, SimParams, SimState
 from sph_tpu.native import (

@@ -11,7 +11,6 @@ import json
 import os
 
 import numpy as np
-import pytest
 
 GOLDEN = os.path.join(
     os.path.dirname(__file__), "golden", "reference_scenario_trace.json"

@@ -1,7 +1,6 @@
 """SPH fluid model tests: kernel normalization, hydrostatics, grid-vs-brute
 equivalence, dam-break sanity, obstacles."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -9,7 +8,6 @@ import pytest
 from sph_tpu.sph import kernels as K
 from sph_tpu.sph.model import (
     SPHParams,
-    SPHState,
     compute_accel,
     compute_accel_bruteforce,
     compute_density,
