@@ -483,6 +483,10 @@ def dense_step(d: DenseFluidState, params: SPHParams,
 
     def do_rebin(args):
         px, py, pz, vx, vy, vz = args
+        if params.use_pallas:
+            from sph_tpu.ops.pallas.rebin import rebin_pallas
+
+            return rebin_pallas(d, px, py, pz, vx, vy, vz, params, spec)
         return rebin(d, px, py, pz, vx, vy, vz, params, spec)
 
     def no_rebin(args):

@@ -221,3 +221,37 @@ def test_rebin_every_with_velocity_clamp():
     d = f(d)
     assert int(jnp.sum(d.occ)) == n0
     assert int(d.dropped) == 0
+
+
+def test_pallas_rebin_matches_xla_bit_exact():
+    """The Pallas staged rebin (ops/pallas/rebin.py) must reproduce the XLA
+    staged rebin exactly, including drop counts, under random 0.9-cell
+    nudges that force migrations and overflow."""
+    from sph_tpu.ops.pallas.rebin import rebin_pallas
+    from sph_tpu.sph.scenes import dam_break_3d
+
+    state, params = dam_break_3d(n_target=300)
+    params = params.replace(dense_k=8, cell_factor=1.2, use_pallas=False)
+    spec = make_dense_spec(params, k=8, cell_factor=1.2)
+    d = pack(state, params, spec)
+    key = jax.random.PRNGKey(0)
+    delta = jax.random.uniform(
+        key, (3, *d.px.shape), minval=-0.9 * spec.cell, maxval=0.9 * spec.cell
+    )
+    px = jnp.where(d.occ > 0.5, d.px + delta[0], d.px)
+    py = jnp.where(d.occ > 0.5, d.py + delta[1], d.py)
+    pz = jnp.where(d.occ > 0.5, d.pz + delta[2], d.pz)
+    a = jax.jit(
+        lambda d, px, py, pz: rebin(d, px, py, pz, d.vx, d.vy, d.vz,
+                                    params, spec)
+    )(d, px, py, pz)
+    b = jax.jit(
+        lambda d, px, py, pz: rebin_pallas(d, px, py, pz, d.vx, d.vy, d.vz,
+                                           params, spec)
+    )(d, px, py, pz)
+    for f in ("occ", "px", "py", "pz", "vx", "vy", "vz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )
+    assert int(a.dropped) == int(b.dropped)
+    assert int(a.dropped) > 0  # the nudge must actually exercise overflow
