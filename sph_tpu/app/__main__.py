@@ -74,23 +74,12 @@ def cmd_cells(args) -> int:
         m["ids"] = sim.particle_ids()[:8]
         print(json.dumps(m), flush=True)
         if args.render_every:
-            from sph_tpu.render.camera import Camera
-            from sph_tpu.render.splat import render_points, save_image
-            import jax.numpy as jnp
+            from sph_tpu.render.overlay import render_cells_frame
 
-            n = int(sim.state.active_count)
-            cam = Camera()
-            cam.focus_on((0, 0, 0), distance=3.0 * params.spawn_radius)
-            # Color by genome mode.
-            colors = jnp.asarray(
-                sim.genome_dev.mode_color[:, :3]
-            )[jnp.clip(sim.state.mode, 0, max(len(sim.genome.modes) - 1, 0))]
-            mask = jnp.arange(sim.state.capacity) < sim.state.active_count
-            img = render_points(
-                sim.state.pos, cam.view_params(), width=800, height=450,
-                colors=colors, mask=mask, splat_radius_px=4,
+            render_cells_frame(
+                sim, path=os.path.join(args.out, f"cells_{frame:05d}.png"),
+                show_labels=args.labels, show_bonds=True,
             )
-            save_image(img, os.path.join(args.out, f"cells_{frame:05d}.png"))
             frame += 1
     if args.checkpoint:
         sim.save(args.checkpoint)
@@ -122,6 +111,8 @@ def main(argv=None) -> int:
     c.add_argument("--auto-grow", action="store_true")
     c.add_argument("--scene-json", default="")
     c.add_argument("--render-every", type=int, default=0)
+    c.add_argument("--labels", action="store_true",
+                   help="draw PP.UU.C id labels on frames")
     c.add_argument("--out", default="out")
     c.add_argument("--checkpoint", default="")
     c.set_defaults(fn=cmd_cells)

@@ -1,0 +1,112 @@
+"""Host-side debug overlays on rendered frames — the reference's L4
+visualization channels (SURVEY §2.10): per-particle ID labels (TMP labels,
+ParticleSystemController.cs:1292-1350), zone-colored bond lines with the
+white anchor-to-anchor line (CellAdhesionManager.cs:245-304), and drag
+target markers (cs:1036-1063). Drawn with PIL onto the on-device splat."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _project(points, camera, width, height):
+    """Host-side projection matching render.splat.project_points."""
+    eye, right, up, fwd, tanf = camera.view_params()
+    rel = np.asarray(points, np.float32) - eye
+    x = rel @ right
+    y = rel @ up
+    z = rel @ fwd
+    safe = np.maximum(z, 1e-6)
+    aspect = width / height
+    px = (x / (safe * tanf * aspect) * 0.5 + 0.5) * (width - 1)
+    py = (1.0 - (y / (safe * tanf) * 0.5 + 0.5)) * (height - 1)
+    vis = (z > 1e-3) & (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    return px, py, vis
+
+
+def draw_overlays(
+    img,
+    camera,
+    labels: list[tuple] | None = None,        # [(pos3, text)]
+    bond_lines: list[dict] | None = None,      # Simulation.bond_lines()
+    drag_target=None,                          # world pos or None
+):
+    """Return a PIL.Image of `img` ([H,W,3] float 0..1) with overlays."""
+    from PIL import Image, ImageDraw
+
+    arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+    pil = Image.fromarray(arr)
+    draw = ImageDraw.Draw(pil)
+    h, w = arr.shape[:2]
+
+    if bond_lines:
+        for b in bond_lines:
+            pts = np.array([b["a"], b["midpoint"], b["b"], b["anchor_a"],
+                            b["anchor_b"]], np.float32)
+            px, py, vis = _project(pts, camera, w, h)
+            if vis[:3].all():
+                ca = tuple(int(c * 255) for c in b["color_a"])
+                cb = tuple(int(c * 255) for c in b["color_b"])
+                draw.line([(px[0], py[0]), (px[1], py[1])], fill=ca, width=2)
+                draw.line([(px[1], py[1]), (px[2], py[2])], fill=cb, width=2)
+            if vis[3:].all():
+                # White anchor-to-anchor line (CAM:287-302).
+                draw.line([(px[3], py[3]), (px[4], py[4])],
+                          fill=(255, 255, 255), width=1)
+
+    if labels:
+        pts = np.array([p for p, _ in labels], np.float32)
+        px, py, vis = _project(pts, camera, w, h)
+        for i, (_, text) in enumerate(labels):
+            if vis[i] and np.isfinite(px[i]) and np.isfinite(py[i]):
+                draw.text((px[i] + 3, py[i] - 8), text, fill=(255, 255, 160))
+
+    if drag_target is not None:
+        px, py, vis = _project(np.asarray([drag_target], np.float32),
+                               camera, w, h)
+        if vis[0]:
+            r = 6
+            # Green drag circle (cs:1036-1063).
+            draw.ellipse([px[0] - r, py[0] - r, px[0] + r, py[0] + r],
+                         outline=(0, 255, 0), width=2)
+    return pil
+
+
+def render_cells_frame(sim, camera=None, width=800, height=450,
+                       show_labels=True, show_bonds=True, path=None):
+    """Full cell-sim frame: on-device splat + host overlays (ids, bonds,
+    drag marker) — the reference's complete visual channel set."""
+    import jax.numpy as jnp
+
+    from sph_tpu.render.camera import Camera
+    from sph_tpu.render.splat import render_points
+
+    if camera is None:
+        camera = Camera()
+        camera.focus_on((0, 0, 0), distance=3.0 * sim.params.spawn_radius)
+
+    n_modes = max(len(sim.genome.modes), 1)
+    colors = jnp.asarray(sim.genome_dev.mode_color[:, :3])[
+        jnp.clip(sim.state.mode, 0, n_modes - 1)
+    ]
+    mask = jnp.arange(sim.state.capacity) < sim.state.active_count
+    img = render_points(
+        sim.state.pos, camera.view_params(), width=width, height=height,
+        colors=colors, mask=mask, splat_radius_px=4,
+    )
+
+    n = int(sim.state.active_count)
+    labels = None
+    if show_labels:
+        pos = np.asarray(sim.state.pos[:n])
+        ids = sim.particle_ids()
+        labels = [(pos[i], ids[i]) for i in range(n)]
+    bonds = sim.bond_lines() if show_bonds else None
+    drag = None
+    if int(sim.state.drag_input.selected_slot) >= 0:
+        drag = np.asarray(sim.state.drag_input.target)
+    pil = draw_overlays(img, camera, labels=labels, bond_lines=bonds,
+                        drag_target=drag)
+    if path:
+        pil.save(path)
+    return pil

@@ -94,3 +94,25 @@ def test_camera_orbit_keeps_distance():
         cam.orbit(0.1)
         d = np.linalg.norm(cam.position - cam.orbit_target)
         assert abs(d - 15.0) < 1e-3
+
+
+def test_cells_overlay_frame(tmp_path):
+    """Full visual channel set: splat + id labels + zone-colored bond lines
+    + drag marker (reference L4 parity surface)."""
+    from sph_tpu import Simulation
+    from sph_tpu.engine.config import reference_genome, reference_scene_params
+    from sph_tpu.render.overlay import render_cells_frame
+
+    p = reference_scene_params(capacity=16).replace(
+        dt=0.5, max_splits_per_step=8, max_bonds=64
+    )
+    sim = Simulation(reference_genome(), p)
+    sim.step(24)
+    sim.set_drag(0, (5.0, 5.0, 0.0), 100.0)
+    out = tmp_path / "cells.png"
+    pil = render_cells_frame(sim, path=str(out))
+    assert out.exists()
+    arr = np.asarray(pil)
+    assert arr.shape == (450, 800, 3)
+    # Overlays leave non-background pixels (labels are yellowish, drag green).
+    assert (arr[..., 1].astype(int) - arr[..., 2].astype(int) > 60).any()
