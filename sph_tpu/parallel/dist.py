@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sph_tpu.sph.dense import (
+    SENTINEL,
     DenseFluidState,
     DenseSpec,
     _integrate,
@@ -142,13 +143,25 @@ def _local_step(d: DenseFluidState, params: SPHParams, spec: DenseSpec,
     return d.replace_fields(step_count=d.step_count + 1)
 
 
+def _pad_fill(params: SPHParams) -> dict[str, float]:
+    """Per-field fill value for inert (sentinel/empty) planes."""
+    return dict(px=SENTINEL, py=SENTINEL, pz=SENTINEL,
+                vx=0.0, vy=0.0, vz=0.0, occ=0.0,
+                rho=params.rest_density, prs=0.0)
+
+
 def make_sharded_dense_step(params: SPHParams, spec: DenseSpec, mesh: Mesh,
                             substeps: int = 1, donate: bool = True):
-    """Jitted multi-device step: dense state sharded over layout dim 0."""
+    """Jitted multi-device step: dense state sharded over layout dim 0.
+
+    When `spec.n0` is not a multiple of the device count, the state is
+    padded with inert sentinel planes (appended past the top margin, so
+    rolls and rebin targets never touch them) before the shard_map and
+    sliced back after — callers never pad by hand.
+    """
     axis = mesh.axis_names[0]
     n = mesh.devices.size
-    if spec.n0 % n:
-        raise ValueError(f"n0={spec.n0} not divisible by {n} devices")
+    pad = (-spec.n0) % n
     from sph_tpu.sph.dense import _check_rebin_cadence
 
     _check_rebin_cadence(params, spec)
@@ -169,21 +182,42 @@ def make_sharded_dense_step(params: SPHParams, spec: DenseSpec, mesh: Mesh,
         px=arr, py=arr, pz=arr, vx=arr, vy=arr, vz=arr, occ=arr,
         rho=arr, prs=arr, dropped=P(), step_count=P(),
     )
-    f = jax.shard_map(
+    f_shard = jax.shard_map(
         local, mesh=mesh, in_specs=(spec_in,), out_specs=spec_in,
         check_vma=False,
     )
+    if pad == 0:
+        return jax.jit(f_shard, donate_argnums=(0,) if donate else ())
+
+    fills = _pad_fill(params)
+
+    def f(d):
+        ext = (pad,) + d.px.shape[1:]
+        padded = {
+            k: jnp.concatenate(
+                [getattr(d, k), jnp.full(ext, v, jnp.float32)], axis=0
+            )
+            for k, v in fills.items()
+        }
+        out = f_shard(d.replace_fields(**padded))
+        return out.replace_fields(
+            **{k: getattr(out, k)[: spec.n0] for k in fills}
+        )
+
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 
 
 def shard_dense_state(d: DenseFluidState, mesh: Mesh) -> DenseFluidState:
     axis = mesh.axis_names[0]
+    n = mesh.devices.size
 
     def put(x):
-        if x.ndim >= 1:
+        if x.ndim >= 1 and x.shape[0] % n == 0:
             return jax.device_put(
                 x, NamedSharding(mesh, P(axis, *[None] * (x.ndim - 1)))
             )
+        # Uneven dim 0: leave replicated; the sharded step pads the state
+        # to a multiple of the device count and reshards internally.
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(put, d)

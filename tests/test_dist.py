@@ -110,3 +110,29 @@ def test_particles_actually_migrated(runs):
     occ0 = np.asarray(d0.occ).reshape(d0.occ.shape[0], -1).sum(1)
     occ1 = np.asarray(ref.occ).reshape(ref.occ.shape[0], -1).sum(1)
     assert (occ0 != occ1).any()
+
+
+def test_autopad_8dev_matches_single_device(runs):
+    """Full 8-device mesh with an n0 NOT divisible by the device count:
+    make_sharded_dense_step must pad internally and still be bit-identical
+    to the single-device run (uses the cached 4-dev reference's d0/ref —
+    spec.n0 is a multiple of 4 but not of 8)."""
+    d0, ref, _ = runs
+    state, params = random_fluid(400)
+    spec = make_dense_spec(params, k=4, cell_factor=1.3)
+    import dataclasses
+
+    spec = dataclasses.replace(spec, n0=-(-spec.n0 // N_DEV) * N_DEV)
+    if spec.n0 % 8 == 0:  # make it uneven on purpose
+        spec = dataclasses.replace(spec, n0=spec.n0 + N_DEV)
+        d0 = pack(state, params, spec)
+        ref = make_dense_step(params, spec, substeps=SUBSTEPS,
+                              donate=False)(d0)
+    mesh = mesh_1d(8)
+    out = make_sharded_dense_step(
+        params, spec, mesh, substeps=SUBSTEPS, donate=False
+    )(shard_dense_state(d0, mesh))
+    assert out.px.shape == ref.px.shape
+    np.testing.assert_array_equal(np.asarray(ref.occ), np.asarray(out.occ))
+    np.testing.assert_array_equal(np.asarray(ref.px), np.asarray(out.px))
+    np.testing.assert_array_equal(np.asarray(ref.vy), np.asarray(out.vy))
