@@ -98,6 +98,80 @@ def _bench_2d_dense(n_target: int, steps: int = 60, substeps: int = 30):
             "alive": int(n_alive), "dropped": int(dropped)}
 
 
+def _verify_on_chip() -> str:
+    """Pallas-vs-XLA bit equality of density/accel/rebin ON THE CURRENT
+    BACKEND (the real TPU when run unmodified; tests only ever assert this
+    in interpreter mode on CPU). Returns 'ok' or a failure description."""
+    import numpy as np
+
+    from sph_tpu.ops.pallas.fluid import accel_pallas, density_pallas
+    from sph_tpu.ops.pallas.rebin import rebin_pallas
+    from sph_tpu.sph.dense import (
+        accel_pass, density_pass, make_dense_spec, pack, rebin,
+    )
+    from sph_tpu.sph.model import eos_pressure
+    from sph_tpu.sph.scenes import dam_break_3d
+
+    state, params = dam_break_3d(n_target=3000)
+    params = params.replace(dense_k=8, cell_factor=1.2)
+    spec = make_dense_spec(params, k=8, cell_factor=1.2)
+    d = pack(state, params, spec)
+    try:
+        rho_x = jax.jit(
+            lambda d: density_pass(
+                d, params.replace(use_pallas=False), spec
+            )
+        )(d)
+        rho_p = jax.jit(
+            lambda d: jnp.where(
+                d.occ > 0.5,
+                jnp.maximum(
+                    density_pallas(d.px, d.py, d.pz, d.occ, params, spec),
+                    1e-6,
+                ),
+                params.rest_density,
+            )
+        )(d)
+        np.testing.assert_array_equal(np.asarray(rho_x), np.asarray(rho_p))
+
+        prs = jnp.where(d.occ > 0.5, eos_pressure(rho_x, params), 0.0)
+        d2 = d.replace_fields(
+            rho=rho_x, prs=prs,
+            vx=jnp.sin(d.px * 3) * d.occ, vy=jnp.cos(d.py * 3) * d.occ,
+        )
+        a_x = jax.jit(lambda d: accel_pass(d, params, spec))(d2)
+        a_p = jax.jit(
+            lambda d: accel_pallas(d, d.prs / (d.rho * d.rho), params, spec)
+        )(d2)
+        m = np.asarray(d.occ.reshape(-1)) > 0.5
+        for x, p in zip(a_x, a_p):
+            np.testing.assert_array_equal(
+                np.asarray(x).reshape(-1)[m], np.asarray(p).reshape(-1)[m]
+            )
+
+        key = jax.random.PRNGKey(0)
+        delta = jax.random.uniform(
+            key, (3, *d.px.shape),
+            minval=-0.9 * spec.cell, maxval=0.9 * spec.cell,
+        )
+        px = jnp.where(d.occ > 0.5, d.px + delta[0], d.px)
+        py = jnp.where(d.occ > 0.5, d.py + delta[1], d.py)
+        pz = jnp.where(d.occ > 0.5, d.pz + delta[2], d.pz)
+        a = jax.jit(lambda d, px, py, pz: rebin(
+            d, px, py, pz, d.vx, d.vy, d.vz, params, spec))(d, px, py, pz)
+        b = jax.jit(lambda d, px, py, pz: rebin_pallas(
+            d, px, py, pz, d.vx, d.vy, d.vz, params, spec))(d, px, py, pz)
+        for f in ("occ", "px", "py", "pz", "vx", "vy", "vz"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                err_msg=f,
+            )
+        assert int(a.dropped) == int(b.dropped)
+    except AssertionError as e:
+        return "FAIL: " + str(e).split("\n")[0][:120]
+    return f"ok ({jax.default_backend()})"
+
+
 CONFIGS = {
     0: ("2D dam-break 4k (brute-force executable spec)",
         lambda: _bench_2d_bruteforce(4096)),
@@ -119,6 +193,9 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--breakdown", action="store_true",
                     help="also report per-phase ms (grid build vs force sum)")
+    ap.add_argument("--verify", action="store_true",
+                    help="assert Pallas == XLA bit equality on this backend "
+                         "and include the result in the JSON line")
     args = ap.parse_args()
 
     if args.all:
@@ -147,14 +224,17 @@ def main():
             pack(st, prm, spc), prm, spc
         )
 
-    psps = head.get("particle_steps_per_sec", 0.0)
-    print(json.dumps({
+    out = {
         "metric": f"particle-steps/sec ({head_name}, 1 chip)",
-        "value": psps,
+        "value": head.get("particle_steps_per_sec", 0.0),
         "unit": "particle-steps/sec",
-        "vs_baseline": round(psps / 60e6, 4),
+        "vs_baseline": round(head.get("particle_steps_per_sec", 0.0) / 60e6,
+                             4),
         "detail": detail,
-    }))
+    }
+    if args.verify:
+        out["verify"] = _verify_on_chip()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,21 +1,30 @@
 """Pallas TPU kernels for the dense-grid SPH hot path.
 
 Same math and data layout as sph_tpu.sph.dense (see its module docstring for
-the lane-roll pair-enumeration scheme), but the stencil loop runs in VMEM and
-empty regions are skipped:
+the lane-roll pair-enumeration scheme), with three structural upgrades over
+the naive full sweep:
 
-- grid over layout dim 0 (world x in 3D): each program owns one plane
-  [N1, L] and loads its ±1 neighbor planes once (clamped BlockSpec index
-  maps; the sentinel margin ring makes the clamp at the edges inert);
-- within a program, work proceeds in sublane tiles of TB=8 rows, and a
-  per-tile occupancy table (SMEM) gates the whole tile with pl.when — empty
-  space costs DMA only, no VPU time. For a dam break the fluid's x–y
-  footprint is ~20-30% of the box, so this is a ~3-4× win;
-- the lane sweep D ∈ [−(2k−1), 2k−1] is a fori_loop carrying candidate
-  tiles advanced by roll(−1) per iteration: bounded VMEM live set and a
-  small Mosaic program regardless of k.
+- NEWTON PAIR SYMMETRY: only half the (dz, dy, D) stencil variants are swept
+  (groups A/B/C, sph.dense docs); each iteration emits the own-side
+  contribution AND the mirror (partner-side) contribution. Mirror tiles ride
+  the fori carry and are rolled together with the candidate tiles, so lane
+  alignment is free; one static de-roll at group end restores the absolute
+  frame. Mirrors that target row+1 / plane+1 are written to separate output
+  arrays and folded in by sph.dense.combine_mirror_parts (shared with the
+  XLA twin — bit-identical by construction).
+- ROW-BLOCKED GRID: the grid is (N0 planes, N1/RB row blocks); row halos
+  come from one-tile neighbor-block fetches, bounding VMEM at any problem
+  size (1M/4M states, large 2D planes). RB is picked per shape from a VMEM
+  budget.
+- TILE SKIP: per 8-row tile occupancy (SMEM) gates all work with pl.when —
+  empty space costs DMA only. Skipped tiles differ from the XLA twin only at
+  sentinel lanes (garbage → rest-density fixup / exact ±0 accel), never at
+  real particles.
 
-Bit-identical to the XLA twin (tests/test_dense.py)."""
+Bit-identical to the XLA twin at real lanes (tests/test_dense.py); the pair
+arithmetic itself is literally shared (sph.dense.density_pair_term /
+accel_pair_terms).
+"""
 
 from __future__ import annotations
 
@@ -27,8 +36,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sph_tpu.sph import kernels as KN
+from sph_tpu.sph.dense import (
+    accel_pair_terms,
+    combine_mirror_parts,
+    density_pair_term,
+    density_self_term,
+    dys_c,
+)
 
 TB = 8  # sublane tile rows
+_VMEM_BUDGET = 10 * 2 ** 20
 
 
 def _interpret() -> bool:
@@ -40,238 +57,271 @@ def _roll_lanes(x: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.roll(x, -d, axis=1) if d else x
 
 
-def _pad_rows(p: jnp.ndarray) -> jnp.ndarray:
-    """[N1, L] → [N1+2, L] with wraparound rows (margins are sentinel, so
-    the wrap is inert — same argument as lane-roll wrap)."""
-    return jnp.concatenate([p[-1:], p, p[:1]], axis=0)
-
-
 def tile_occupancy(occ: jnp.ndarray) -> jnp.ndarray:
-    """[N0, N1, L] occupancy → [N0, N1/TB] i32 tile flags.
+    """[N0, N1, L] occupancy → [N0, 1, N1/TB] i32 tile flags.
 
-    A tile must be computed if it OR any neighboring tile row holds fluid —
-    its particles interact with neighbors' — but output-only tiles need own
-    occupancy only (empty tiles have no particles to update). Own-occupancy
-    is exactly right."""
+    A tile is computed iff its own rows hold fluid: own-side contributions
+    and mirror emissions both require a real own-side particle."""
     N0, N1, L = occ.shape
     t = occ.reshape(N0, N1 // TB, TB * L).max(axis=-1)
-    # [N0, 1, nb]: keeps the SMEM block's trailing dims equal to the array's
-    # (Pallas TPU block divisibility rule).
     return (t > 0.5).astype(jnp.int32)[:, None, :]
 
 
-def _density_kernel(*refs, h2: float, coeff: float, k: int, n_z: int,
-                    dys: tuple, nb: int):
-    """refs: occ_tile, then px/py/pz × (z−1, z, z+1) planes, then out.
+def _pick_rb(N1: int, L: int, nf: int, nz: int, n_out: int) -> int:
+    """Largest row-block size whose working set fits the VMEM budget."""
+    nb = N1 // TB
+    best = TB
+    for nbb in range(1, nb + 1):
+        if nb % nbb:
+            continue
+        rb = nbb * TB
+        est = (
+            (nf * nz * (rb + 2 * TB) + n_out * rb) * 2   # blocks, dbl-buffered
+            + nf * nz * (rb + 2)                          # pads
+            + (nf + 7) * TB                               # fori carry tiles
+        ) * L * 4
+        if est <= _VMEM_BUDGET and rb > best:
+            best = rb
+    return best
 
-    The z-plane loop is outermost and only ONE z-plane's padded copies are
-    live at a time (VMEM headroom at 1M+ scales); contributions accumulate
-    into the output ref."""
+
+def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, st1: bool,
+                   dysc: tuple, nbb: int, pair_fn, self_init, sign: int):
+    """Generic Newton-symmetric pair sweep over one (plane, row-block).
+
+    refs: occ_tile (SMEM), then per field × zi: (main, prev-halo, next-halo)
+    blocks, then outputs: ncomp own accumulators, ncomp group-B row mirrors
+    (if st1), ncomp group-C plane mirrors per dy in dysc (if nz == 2)."""
     occ_t = refs[0]
-    planes = refs[1:1 + 3 * n_z]
-    out = refs[1 + 3 * n_z]
+    fr = refs[1:1 + nf * nz * 3]
+    outs = refs[1 + nf * nz * 3:]
+    yb0 = pl.program_id(1) * nbb  # first tile index of this row block
 
-    out[0] = jnp.zeros_like(out[0])
-    mid = n_z // 2
-    for zi in range(n_z):
-        pads = [_pad_rows(planes[c * n_z + zi][0]) for c in range(3)]
-        for yt in range(nb):
-            @pl.when(occ_t[0, 0, yt] > 0)
-            def _(yt=yt, pads=pads, zi=zi):
-                r0 = yt * TB
-                cx = planes[0 * n_z + mid][0][r0:r0 + TB]
-                cy = planes[1 * n_z + mid][0][r0:r0 + TB]
-                cz = planes[2 * n_z + mid][0][r0:r0 + TB]
-                acc = out[0, r0:r0 + TB, :]
-                for dy in dys:
-                    rs = r0 + 1 + dy
-                    qx = _roll_lanes(pads[0][rs:rs + TB], -(2 * k - 1))
-                    qy = _roll_lanes(pads[1][rs:rs + TB], -(2 * k - 1))
-                    qz = _roll_lanes(pads[2][rs:rs + TB], -(2 * k - 1))
+    for o in outs:
+        o[0] = jnp.zeros_like(o[0])
 
-                    def body(_i, carry):
-                        qx, qy, qz, acc = carry
-                        r2 = (cx - qx) ** 2 + (cy - qy) ** 2 + (cz - qz) ** 2
-                        t = jnp.maximum(h2 - r2, 0.0)
-                        return (
-                            _roll_lanes(qx, 1), _roll_lanes(qy, 1),
-                            _roll_lanes(qz, 1), acc + t * t * t,
-                        )
-
-                    qx, qy, qz, acc = jax.lax.fori_loop(
-                        0, 4 * k - 1, body, (qx, qy, qz, acc)
-                    )
-                out[0, r0:r0 + TB, :] = acc
-    # One final scale keeps the summation order identical to the XLA twin
-    # (skipped tiles are zero, so scaling the whole plane is safe).
-    out[0] = out[0] * coeff
-
-
-def _accel_kernel(*refs, h: float, m: float, spiky_c: float, visc_mc: float,
-                  k: int, n_z: int, dys: tuple, nb: int):
-    """refs: occ_tile, (px,py,pz,vx,vy,vz,rho,pr2) × z-planes, ax, ay, az.
-    Same z-outer accumulate-into-output structure as the density kernel."""
-    occ_t = refs[0]
-    planes = refs[1:1 + 8 * n_z]
-    ax_ref, ay_ref, az_ref = refs[1 + 8 * n_z:1 + 8 * n_z + 3]
-
-    ax_ref[0] = jnp.zeros_like(ax_ref[0])
-    ay_ref[0] = jnp.zeros_like(ay_ref[0])
-    az_ref[0] = jnp.zeros_like(az_ref[0])
-    mid = n_z // 2
-
-    def C(field, r0):
-        return planes[field * n_z + mid][0][r0:r0 + TB]
-
-    for zi in range(n_z):
-        pads = [_pad_rows(planes[f * n_z + zi][0]) for f in range(8)]
-        for yt in range(nb):
-            @pl.when(occ_t[0, 0, yt] > 0)
-            def _(yt=yt, pads=pads, zi=zi):
-                r0 = yt * TB
-                cx, cy, cz = C(0, r0), C(1, r0), C(2, r0)
-                cvx, cvy, cvz = C(3, r0), C(4, r0), C(5, r0)
-                crho, cpr2 = C(6, r0), C(7, r0)
-                ax = ax_ref[0, r0:r0 + TB, :]
-                ay = ay_ref[0, r0:r0 + TB, :]
-                az = az_ref[0, r0:r0 + TB, :]
-                pre = -(2 * k - 1)
-                for dy in dys:
-                    rs = r0 + 1 + dy
-                    carry = tuple(
-                        _roll_lanes(pads[f][rs:rs + TB], pre)
-                        for f in range(8)
-                    ) + (ax, ay, az)
-
-                    def body(_i, carry):
-                        (qx, qy, qz, qvx, qvy, qvz, qrho, qpr2,
-                         ax, ay, az) = carry
-                        dx = cx - qx
-                        dyv = cy - qy
-                        dzv = cz - qz
-                        r2 = dx * dx + dyv * dyv + dzv * dzv
-                        r = jnp.sqrt(jnp.maximum(r2, 1e-18))
-                        not_self = (r2 > 1e-16).astype(jnp.float32)
-                        hr = jnp.maximum(h - r, 0.0)
-
-                        cp = ((-m * spiky_c) * hr * hr / r) * (
-                            cpr2 + qpr2
-                        ) * not_self
-                        ax = ax + cp * dx
-                        ay = ay + cp * dyv
-                        az = az + cp * dzv
-
-                        cv = (visc_mc * hr * not_self) / (crho * qrho)
-                        ax = ax + cv * (qvx - cvx)
-                        ay = ay + cv * (qvy - cvy)
-                        az = az + cv * (qvz - cvz)
-                        return (
-                            _roll_lanes(qx, 1), _roll_lanes(qy, 1),
-                            _roll_lanes(qz, 1), _roll_lanes(qvx, 1),
-                            _roll_lanes(qvy, 1), _roll_lanes(qvz, 1),
-                            _roll_lanes(qrho, 1), _roll_lanes(qpr2, 1),
-                            ax, ay, az,
-                        )
-
-                    carry = jax.lax.fori_loop(0, 4 * k - 1, body, carry)
-                    ax, ay, az = carry[8], carry[9], carry[10]
-                ax_ref[0, r0:r0 + TB, :] = ax
-                ay_ref[0, r0:r0 + TB, :] = ay
-                az_ref[0, r0:r0 + TB, :] = az
-
-
-def _plane_specs(n_fields: int, N0: int, N1: int, L: int, stencil0: bool):
-    """One BlockSpec per (field, dim0-offset): block = one plane [1, N1, L].
-    ±1 offsets clamp into the sentinel margin at the boundary (harmless)."""
-    specs = []
-    offsets = (-1, 0, 1) if stencil0 else (0,)
-    for _field in range(n_fields):
-        for dz in offsets:
-            specs.append(
-                pl.BlockSpec(
-                    (1, N1, L),
-                    functools.partial(
-                        lambda z, dz=0: (jnp.clip(z + dz, 0, N0 - 1), 0, 0),
-                        dz=dz,
-                    ),
-                    memory_space=pltpu.VMEM,
-                )
+    # Row pads per (field, zi): [RB+2, L], halo rows from neighbor blocks.
+    pads = []
+    for f in range(nf):
+        row = []
+        for zi in range(nz):
+            b = (f * nz + zi) * 3
+            main, prev, nxt = fr[b], fr[b + 1], fr[b + 2]
+            row.append(
+                jnp.concatenate([prev[0][-1:], main[0], nxt[0][:1]], axis=0)
             )
+        pads.append(row)
+
+    L = pads[0][0].shape[1]
+    two_k = 2 * k
+    full_d0, full_t = -(2 * k - 1), 4 * k - 1
+
+    for yt in range(nbb):
+        @pl.when(occ_t[0, 0, yb0 + yt] > 0)
+        def _(yt=yt):
+            r0 = yt * TB
+            cs = [pads[f][0][r0 + 1:r0 + 1 + TB] for f in range(nf)]
+            accs = [
+                jnp.full((TB, L), self_init, jnp.float32)
+                if (c == 0 and self_init is not None)
+                else jnp.zeros((TB, L), jnp.float32)
+                for c in range(ncomp)
+            ]
+
+            def run(zi, dy, d0, t_count, accs):
+                qs = [
+                    _roll_lanes(pads[f][zi][r0 + 1 + dy:r0 + 1 + dy + TB], d0)
+                    for f in range(nf)
+                ]
+                ms = [jnp.zeros((TB, L), jnp.float32)] * ncomp
+
+                def body(_i, carry):
+                    qs = list(carry[:nf])
+                    ms = list(carry[nf:nf + ncomp])
+                    accs = list(carry[nf + ncomp:])
+                    ts = pair_fn(*cs, *qs)
+                    accs = [a + t for a, t in zip(accs, ts)]
+                    ms = [m + t for m, t in zip(ms, ts)]
+                    qs = [_roll_lanes(q, 1) for q in qs]
+                    ms = [_roll_lanes(m, 1) for m in ms]
+                    return (*qs, *ms, *accs)
+
+                out = jax.lax.fori_loop(
+                    0, t_count, body, (*qs, *ms, *accs)
+                )
+                m_abs = [
+                    _roll_lanes(m, -two_k) for m in out[nf:nf + ncomp]
+                ]
+                return list(out[nf + ncomp:]), m_abs
+
+            # Group A: same cell column, mirrors fold into the accumulator.
+            accs, m_a = run(0, 0, 1, 2 * k - 1, accs)
+            accs = [
+                a + m if sign > 0 else a - m for a, m in zip(accs, m_a)
+            ]
+            oi = ncomp
+            if st1:
+                accs, m_b = run(0, 1, full_d0, full_t, accs)
+                for c in range(ncomp):
+                    outs[oi + c][0, r0:r0 + TB, :] = m_b[c]
+                oi += ncomp
+            if nz == 2:
+                for dy in dysc:
+                    accs, m_c = run(1, dy, full_d0, full_t, accs)
+                    for c in range(ncomp):
+                        outs[oi + c][0, r0:r0 + TB, :] = m_c[c]
+                    oi += ncomp
+            for c in range(ncomp):
+                outs[c][0, r0:r0 + TB, :] = accs[c]
+
+
+def _field_specs(nf: int, nz: int, N0: int, N1: int, L: int, RB: int):
+    """Per (field, zi): main block + prev/next row-halo tiles. dz offsets
+    clamp at the top plane and yb offsets clamp at the global row edges —
+    both inert, since the clamped rows/planes only ever pair with the
+    sentinel margin (see module docstring)."""
+    nbb = RB // TB
+    nb_tot = N1 // TB
+    specs = []
+    for _f in range(nf):
+        for dz in range(nz):
+            specs.append(pl.BlockSpec(
+                (1, RB, L),
+                functools.partial(
+                    lambda z, yb, dz=0: (jnp.clip(z + dz, 0, N0 - 1), yb, 0),
+                    dz=dz,
+                ),
+                memory_space=pltpu.VMEM,
+            ))
+            specs.append(pl.BlockSpec(
+                (1, TB, L),
+                functools.partial(
+                    lambda z, yb, dz=0: (
+                        jnp.clip(z + dz, 0, N0 - 1),
+                        jnp.clip(yb * nbb - 1, 0, nb_tot - 1), 0,
+                    ),
+                    dz=dz,
+                ),
+                memory_space=pltpu.VMEM,
+            ))
+            specs.append(pl.BlockSpec(
+                (1, TB, L),
+                functools.partial(
+                    lambda z, yb, dz=0: (
+                        jnp.clip(z + dz, 0, N0 - 1),
+                        jnp.clip((yb + 1) * nbb, 0, nb_tot - 1), 0,
+                    ),
+                    dz=dz,
+                ),
+                memory_space=pltpu.VMEM,
+            ))
     return specs
 
 
-def _occ_spec(nb: int):
-    return pl.BlockSpec(
-        (1, 1, nb), lambda z: (z, 0, 0), memory_space=pltpu.SMEM
+def _newton_call(fields, occ, spec, pair_fn, ncomp, self_init, sign,
+                 flops_per_lane, transc_per_lane):
+    """Shared pallas_call builder for the density / accel sweeps. Returns
+    (own, m_rowB, m_cs) raw part arrays (combine left to the caller)."""
+    N0, N1, L = fields[0].shape
+    nf = len(fields)
+    nz = 2 if spec.stencil0 else 1
+    st1 = spec.stencil1
+    dysc = dys_c(spec) if spec.stencil0 else ()
+    n_out = ncomp * (1 + (1 if st1 else 0) + len(dysc))
+    RB = _pick_rb(N1, L, nf, nz, n_out)
+    nbb = RB // TB
+
+    occ_t = tile_occupancy(occ)
+    kernel = functools.partial(
+        _newton_kernel, nf=nf, ncomp=ncomp, k=spec.k, nz=nz, st1=st1,
+        dysc=dysc, nbb=nbb, pair_fn=pair_fn, self_init=self_init, sign=sign,
     )
+    # SMEM blocks must keep trailing dims equal to the array's (Pallas TPU
+    # block divisibility rule): pass the whole tile-flag row, index by
+    # yb·nbb + yt inside the kernel.
+    occ_spec = pl.BlockSpec(
+        (1, 1, N1 // TB), lambda z, yb: (z, 0, 0), memory_space=pltpu.SMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, RB, L), lambda z, yb: (z, yb, 0), memory_space=pltpu.VMEM
+    )
+    args = [occ_t]
+    for f in fields:
+        args.extend([f] * (3 * nz))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(N0, N1 // RB),
+        in_specs=[occ_spec] + _field_specs(nf, nz, N0, N1, L, RB),
+        out_specs=[out_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((N0, N1, L), jnp.float32)] * n_out,
+        cost_estimate=pl.CostEstimate(
+            flops=N0 * N1 * L * flops_per_lane,
+            bytes_accessed=N0 * N1 * L * 4 * (3 * nf * nz + n_out),
+            transcendentals=N0 * N1 * L * transc_per_lane,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    own = list(outs[:ncomp])
+    oi = ncomp
+    m_rowb = None
+    if st1:
+        m_rowb = list(outs[oi:oi + ncomp])
+        oi += ncomp
+    m_cs = []
+    for _dy in dysc:
+        m_cs.append(list(outs[oi:oi + ncomp]))
+        oi += ncomp
+    return own, m_rowb, m_cs
+
+
+def _n_swept(spec) -> int:
+    """Swept variants per lane (half the full stencil)."""
+    k = spec.k
+    n = 2 * k - 1                                   # group A
+    if spec.stencil1:
+        n += 4 * k - 1                              # group B
+    if spec.stencil0:
+        n += (4 * k - 1) * len(dys_c(spec))         # group C
+    return n
 
 
 def density_pallas(px, py, pz, occ, params, spec) -> jnp.ndarray:
-    """Raw ρ accumulator pass (caller applies occupancy fixup)."""
-    N0, N1, L = px.shape
-    nb = N1 // TB
-    occ_t = tile_occupancy(occ)
+    """Scaled raw ρ pass (caller applies the occupancy fixup)."""
     h2 = params.h * params.h
-    coeff = float(
-        params.particle_mass * KN.poly6_coeff(params.h, params.ndim)
+    own, m_rowb, m_cs = _newton_call(
+        (px, py, pz), occ, spec,
+        pair_fn=lambda *a: density_pair_term(h2, *a),
+        ncomp=1, self_init=density_self_term(params), sign=1,
+        flops_per_lane=16 * _n_swept(spec), transc_per_lane=0,
     )
-    n_z = 3 if spec.stencil0 else 1
-    dys = (-1, 0, 1) if spec.stencil1 else (0,)
-    kernel = functools.partial(
-        _density_kernel, h2=h2, coeff=coeff, k=spec.k, n_z=n_z, dys=dys, nb=nb
+    acc = combine_mirror_parts(
+        own[0], m_rowb[0] if m_rowb else None,
+        [m[0] for m in m_cs], spec, sign=1,
     )
-    flops_per = 14 * (n_z * len(dys) * (4 * spec.k - 1))
-    return pl.pallas_call(
-        kernel,
-        grid=(N0,),
-        in_specs=[_occ_spec(nb)] + _plane_specs(3, N0, N1, L, spec.stencil0),
-        out_specs=pl.BlockSpec(
-            (1, N1, L), lambda z: (z, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((N0, N1, L), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=N0 * N1 * L * flops_per,
-            bytes_accessed=N0 * N1 * L * 4 * (3 * n_z + 1),
-            transcendentals=0,
-        ),
-        interpret=_interpret(),
-    )(occ_t, *[c for comp in (px, py, pz) for c in [comp] * n_z])
+    return params.particle_mass * KN.poly6_coeff(params.h, params.ndim) * acc
 
 
 def accel_pallas(d, pr2, params, spec):
     """Pressure + viscosity acceleration (no gravity/obstacles here)."""
-    N0, N1, L = d.px.shape
-    nb = N1 // TB
-    occ_t = tile_occupancy(d.occ)
-    visc_mc = float(
-        params.viscosity * params.particle_mass
-        * KN.viscosity_lap_coeff(params.h, params.ndim)
+    m = params.particle_mass
+    irho = 1.0 / d.rho
+    pair = lambda *a: accel_pair_terms(  # noqa: E731
+        params.h,
+        float(-m * KN.spiky_grad_coeff(params.h, params.ndim)),
+        float(params.viscosity * m
+              * KN.viscosity_lap_coeff(params.h, params.ndim)),
+        *a,
     )
-    n_z = 3 if spec.stencil0 else 1
-    dys = (-1, 0, 1) if spec.stencil1 else (0,)
-    kernel = functools.partial(
-        _accel_kernel,
-        h=params.h, m=params.particle_mass,
-        spiky_c=float(KN.spiky_grad_coeff(params.h, params.ndim)),
-        visc_mc=visc_mc, k=spec.k, n_z=n_z, dys=dys, nb=nb,
+    fields = (d.px, d.py, d.pz, d.vx, d.vy, d.vz, irho, pr2)
+    own, m_rowb, m_cs = _newton_call(
+        fields, d.occ, spec, pair_fn=pair, ncomp=3, self_init=None, sign=-1,
+        flops_per_lane=40 * _n_swept(spec),
+        transc_per_lane=2 * _n_swept(spec),
     )
-    fields = (d.px, d.py, d.pz, d.vx, d.vy, d.vz, d.rho, pr2)
-    flops_per = 35 * (n_z * len(dys) * (4 * spec.k - 1))
-    out = pl.pallas_call(
-        kernel,
-        grid=(N0,),
-        in_specs=[_occ_spec(nb)] + _plane_specs(8, N0, N1, L, spec.stencil0),
-        out_specs=[
-            pl.BlockSpec((1, N1, L), lambda z: (z, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(3)
-        ],
-        out_shape=[jax.ShapeDtypeStruct((N0, N1, L), jnp.float32)] * 3,
-        cost_estimate=pl.CostEstimate(
-            flops=N0 * N1 * L * flops_per,
-            bytes_accessed=N0 * N1 * L * 4 * (8 * n_z + 3),
-            transcendentals=N0 * N1 * L * (3 * n_z * (4 * spec.k - 1)),
-        ),
-        interpret=_interpret(),
-    )(occ_t, *[c for comp in fields for c in [comp] * n_z])
-    return out
+    return tuple(
+        combine_mirror_parts(
+            own[c], m_rowb[c] if m_rowb else None,
+            [ms[c] for ms in m_cs], spec, sign=-1,
+        )
+        for c in range(3)
+    )

@@ -104,7 +104,10 @@ def make_dense_spec(params: SPHParams, k: int = 8,
         origin = (lo[0] - cell, lo[1] - cell, 0.0)
 
     n0 = wc[axis_map[0]]
-    n1 = -(-wc[axis_map[1]] // 8) * 8            # sublane multiple
+    # Sublane multiple; larger dims round to 32 so the Pallas kernels can
+    # pick row-block sizes between 8 and N1 (VMEM tiling at 1M/4M scale).
+    w1 = wc[axis_map[1]]
+    n1 = -(-w1 // 8) * 8 if w1 <= 8 else -(-w1 // 32) * 32
     lane_mult = max(1, 128 // k)
     n2 = -(-wc[axis_map[2]] // lane_mult) * lane_mult  # lane multiple
     return DenseSpec(
@@ -189,20 +192,6 @@ def unpack(dstate: DenseFluidState):
     return pos, vel, flat(dstate.rho), flat(dstate.prs), mask
 
 
-def _variants(spec: DenseSpec):
-    """All (d0, d1, D) stencil roll offsets (±1 only along layout dims whose
-    world axis has more than one cell)."""
-    k = spec.k
-    dzs = (-1, 0, 1) if spec.stencil0 else (0,)
-    dys = (-1, 0, 1) if spec.stencil1 else (0,)
-    return [
-        (dz, dy, D)
-        for dz in dzs
-        for dy in dys
-        for D in range(-(2 * k - 1), 2 * k)
-    ]
-
-
 def _roll(f: jnp.ndarray, dz: int, dy: int, D: int) -> jnp.ndarray:
     """Align the (dz, dy, D) stencil neighbor with each own lane."""
     shifts, axes = [], []
@@ -220,19 +209,141 @@ def _roll(f: jnp.ndarray, dz: int, dy: int, D: int) -> jnp.ndarray:
     return jnp.roll(f, shifts, axes)
 
 
+# ---------------------------------------------------------------------------
+# Newton-symmetric pair sweep (shared algebra for the XLA twin and the Pallas
+# kernels in ops/pallas/fluid.py — both MUST stay bit-identical).
+#
+# The full stencil is (dz, dy, D) for dz/dy ∈ {−1,0,1} (along active layout
+# dims) and D ∈ [−(2K−1), 2K−1]. Each pair appears twice: variant v at lane i
+# and variant −v at lane j. We sweep HALF the variants and emit both sides:
+#   group A: dz=0, dy=0, D ∈ [1, 2K−1]   (self pair D=0 peeled; density only)
+#   group B: dz=0, dy=+1, D full          (mirrors cover dy=−1)     [stencil1]
+#   group C: dz=+1, dy ∈ dysC, D full     (mirrors cover dz=−1)     [stencil0]
+# Own-side contributions accumulate in place. Mirror contributions target
+# lane i+D / row +dy / plane +1; lane alignment is a roll-back by D, row and
+# plane alignment happen in `combine_mirror_parts` (one whole-array roll per
+# part). Mirror sign: density +1 (symmetric), accel −1 (Newton's third law).
+# ---------------------------------------------------------------------------
+
+
+def dys_c(spec: DenseSpec) -> tuple:
+    """Group-C dy offsets (±1 only when layout dim 1 has a stencil)."""
+    return (-1, 0, 1) if spec.stencil1 else (0,)
+
+
+def density_self_term(params: SPHParams) -> float:
+    """poly6 accumulator self term (h² − 0)³, evaluated in f32 with the same
+    op order as the pair term t·t·t."""
+    h2 = np.float32(params.h * params.h)
+    return float(np.float32(np.float32(h2 * h2) * h2))
+
+
+def density_pair_term(h2, cx, cy, cz, qx, qy, qz):
+    """poly6 accumulator contribution of one candidate pair (pre-coeff)."""
+    r2 = (cx - qx) ** 2 + (cy - qy) ** 2 + (cz - qz) ** 2
+    t = jnp.maximum(h2 - r2, 0.0)
+    return (t * t * t,)
+
+
+def accel_pair_terms(h, neg_m_spiky, visc_mc,
+                     cx, cy, cz, cvx, cvy, cvz, cirho, cpr2,
+                     qx, qy, qz, qvx, qvy, qvz, qirho, qpr2):
+    """Pressure + viscosity contribution of one candidate pair on the own
+    side; the mirror (force on the partner) is the exact negation.
+
+    Same symmetric p/ρ² spiky-gradient + viscosity-Laplacian model as the
+    sorted/brute-force paths (model.py), with 1/ρ carried as a field so the
+    inner loop is division-free except the 1/r of the unit direction."""
+    dx = cx - qx
+    dy = cy - qy
+    dz = cz - qz
+    r2 = dx * dx + dy * dy + dz * dz
+    r = jnp.sqrt(jnp.maximum(r2, 1e-18))
+    # relu(h − r) rejects out-of-support and sentinel pairs; r² > ε removes
+    # the self pair.
+    not_self = (r2 > 1e-16).astype(jnp.float32)
+    hr = jnp.maximum(h - r, 0.0)
+    hrm = hr * not_self
+    cp = (neg_m_spiky * hrm) * hr / r * (cpr2 + qpr2)
+    cv = (visc_mc * hrm) * (cirho * qirho)
+    tx = cp * dx + cv * (qvx - cvx)
+    ty = cp * dy + cv * (qvy - cvy)
+    tz = cp * dz + cv * (qvz - cvz)
+    return tx, ty, tz
+
+
+def combine_mirror_parts(own, m_rowB, m_cs, spec: DenseSpec, sign: int):
+    """Fold the mirror part arrays into the own-side accumulator.
+
+    m_rowB holds group-B mirrors at OWN rows (destination = row+1, same
+    plane); m_cs[i] holds group-C mirrors for dy = dys_c(spec)[i] at OWN
+    rows/planes (destination = plane+1, row+dy). Shared by the XLA twin and
+    the Pallas wrappers so the final per-element addition order is identical
+    in both by construction."""
+    out = own
+    def fold(acc, part):
+        return acc + part if sign > 0 else acc - part
+    if spec.stencil1:
+        out = fold(out, jnp.roll(m_rowB, 1, axis=1))
+    if spec.stencil0:
+        for dy, m in zip(dys_c(spec), m_cs):
+            shifts = (1, dy) if dy else (1,)
+            axes = (0, 1) if dy else (0,)
+            out = fold(out, jnp.roll(m, shifts, axes))
+    return out
+
+
+def _sweep_xla(fields, pair_fn, ncomp, self_init, spec: DenseSpec, sign: int):
+    """XLA twin of the Newton-symmetric sweep: whole-array rolls, one
+    contribution + one lane-aligned mirror per swept variant, accumulation
+    order matching ops/pallas/fluid.py exactly."""
+    K = spec.k
+    shape = fields[0].shape
+    zeros = jnp.zeros(shape, jnp.float32)
+    accs = [
+        jnp.full(shape, self_init, jnp.float32)
+        if (i == 0 and self_init is not None) else zeros
+        for i in range(ncomp)
+    ]
+
+    def run(dz, dy, d_range, accs):
+        ms = [zeros] * ncomp
+        for D in d_range:
+            qs = [_roll(f, dz, dy, D) for f in fields]
+            ts = pair_fn(*fields, *qs)
+            accs = [a + t for a, t in zip(accs, ts)]
+            ms = [m + jnp.roll(t, D, axis=2) for m, t in zip(ms, ts)]
+        return accs, ms
+
+    full = range(-(2 * K - 1), 2 * K)
+    # Group A: same cell column; mirrors fold straight into the accumulator.
+    accs, mA = run(0, 0, range(1, 2 * K), accs)
+    accs = [a + m if sign > 0 else a - m for a, m in zip(accs, mA)]
+    m_rowB = None
+    if spec.stencil1:
+        accs, m_rowB = run(0, 1, full, accs)
+    m_cs = []
+    if spec.stencil0:
+        for dy in dys_c(spec):
+            accs, ms = run(1, dy, full, accs)
+            m_cs.append(ms)
+    return accs, m_rowB, m_cs
+
+
 def density_pass(d: DenseFluidState, params: SPHParams,
                  spec: DenseSpec) -> jnp.ndarray:
     """ρ over all lanes; empty lanes forced to rest density (keeps the EOS
     and force math NaN-free without masks)."""
     h2 = params.h * params.h
-    acc = jnp.zeros_like(d.px)
-    for dz, dy, D in _variants(spec):
-        qx = _roll(d.px, dz, dy, D)
-        qy = _roll(d.py, dz, dy, D)
-        qz = _roll(d.pz, dz, dy, D)
-        r2 = (d.px - qx) ** 2 + (d.py - qy) ** 2 + (d.pz - qz) ** 2
-        t = jnp.maximum(h2 - r2, 0.0)
-        acc = acc + t * t * t
+    accs, m_rowB, m_cs = _sweep_xla(
+        (d.px, d.py, d.pz),
+        lambda *a: density_pair_term(h2, *a),
+        ncomp=1, self_init=density_self_term(params), spec=spec, sign=1,
+    )
+    acc = combine_mirror_parts(
+        accs[0], m_rowB[0] if m_rowB else None,
+        [m[0] for m in m_cs], spec, sign=1,
+    )
     rho = params.particle_mass * KN.poly6_coeff(params.h, params.ndim) * acc
     return jnp.where(d.occ > 0.5, jnp.maximum(rho, 1e-6), params.rest_density)
 
@@ -240,41 +351,27 @@ def density_pass(d: DenseFluidState, params: SPHParams,
 def accel_pass(d: DenseFluidState, params: SPHParams, spec: DenseSpec):
     """Pressure + viscosity acceleration over all lanes (garbage in empty
     lanes; they are never integrated into real particles)."""
-    h = params.h
     m = params.particle_mass
-    spiky_c = KN.spiky_grad_coeff(h, params.ndim)
-    visc_c = KN.viscosity_lap_coeff(h, params.ndim)
     pr2 = d.prs / (d.rho * d.rho)     # empty lanes: 0 / rest² = 0
-    ax = jnp.zeros_like(d.px)
-    ay = jnp.zeros_like(d.px)
-    az = jnp.zeros_like(d.px)
-    for dz, dy, D in _variants(spec):
-        qx = _roll(d.px, dz, dy, D)
-        qy = _roll(d.py, dz, dy, D)
-        qz = _roll(d.pz, dz, dy, D)
-        dx = d.px - qx
-        dyy = d.py - qy
-        dzz = d.pz - qz
-        r2 = dx * dx + dyy * dyy + dzz * dzz
-        r = jnp.sqrt(jnp.maximum(r2, 1e-18))
-        # relu(h − r) masks both out-of-support and (via the self gate)
-        # sentinel pairs; the r² > ε gate removes the self pair.
-        not_self = (r2 > 1e-16).astype(jnp.float32)
-        hr = jnp.maximum(h - r, 0.0)
-
-        cp = (-m * spiky_c) * (pr2 + _roll(pr2, dz, dy, D)) * hr * hr / r
-        cp = cp * not_self
-        ax = ax + cp * dx
-        ay = ay + cp * dyy
-        az = az + cp * dzz
-
-        cv = (params.viscosity * m * visc_c) * hr / (
-            d.rho * _roll(d.rho, dz, dy, D)
-        ) * not_self
-        ax = ax + cv * (_roll(d.vx, dz, dy, D) - d.vx)
-        ay = ay + cv * (_roll(d.vy, dz, dy, D) - d.vy)
-        az = az + cv * (_roll(d.vz, dz, dy, D) - d.vz)
-    return ax, ay, az
+    irho = 1.0 / d.rho
+    pair = lambda *a: accel_pair_terms(  # noqa: E731
+        params.h,
+        float(-m * KN.spiky_grad_coeff(params.h, params.ndim)),
+        float(params.viscosity * m
+              * KN.viscosity_lap_coeff(params.h, params.ndim)),
+        *a,
+    )
+    fields = (d.px, d.py, d.pz, d.vx, d.vy, d.vz, irho, pr2)
+    accs, m_rowB, m_cs = _sweep_xla(
+        fields, pair, ncomp=3, self_init=None, spec=spec, sign=-1,
+    )
+    return tuple(
+        combine_mirror_parts(
+            accs[c], m_rowB[c] if m_rowB else None,
+            [ms[c] for ms in m_cs], spec, sign=-1,
+        )
+        for c in range(3)
+    )
 
 
 def rebin_vmax(params: SPHParams, spec: DenseSpec) -> float:

@@ -74,9 +74,13 @@ def step_breakdown(dstate, params, spec, n=5) -> dict:
         jax.jit(lambda d: _integrate(d, acc[0], acc[1], acc[2], params, vmax)),
         d2, n=n,
     )
+    if params.use_pallas:
+        from sph_tpu.ops.pallas.rebin import rebin_pallas as _rebin
+    else:
+        _rebin = rebin
     out["rebin_ms"], _ = _timed(
-        jax.jit(lambda d: rebin(d, moved[0], moved[1], moved[2], moved[3],
-                                moved[4], moved[5], params, spec)),
+        jax.jit(lambda d: _rebin(d, moved[0], moved[1], moved[2], moved[3],
+                                 moved[4], moved[5], params, spec)),
         d2, n=n,
     )
     out["rebin_amortized_ms"] = out["rebin_ms"] / max(params.rebin_every, 1)
