@@ -41,6 +41,7 @@ class Simulation:
         rng_mode: str = "jax",
         auto_grow: bool = False,
         donate: bool = True,
+        scan_chunk: int = 32,
     ):
         self.genome = genome.validate_for_simulation()
         self.params = params
@@ -48,6 +49,7 @@ class Simulation:
         self.rng_mode = rng_mode
         self.auto_grow = auto_grow
         self.donate = donate
+        self.scan_chunk = max(1, scan_chunk)
         self.genome_dev = self.genome.to_device()
         self._step_cache: dict[tuple, Callable] = {}
         self.state = init_particles(
@@ -63,19 +65,48 @@ class Simulation:
 
     # -- lifecycle ---------------------------------------------------------
 
-    def _stepper(self):
-        key = (self.params, self.state.capacity)
+    def _stepper(self, chunk: int = 1):
+        key = (self.params, self.state.capacity, chunk)
         if key not in self._step_cache:
-            self._step_cache[key] = make_step_fn(self.params, donate=self.donate)
+            if chunk == 1:
+                fn = make_step_fn(self.params, donate=self.donate)
+            else:
+                from sph_tpu.engine.step import run_steps
+
+                fn = jax.jit(
+                    lambda st, gd: run_steps(st, self.params, gd, chunk),
+                    donate_argnums=(0,) if self.donate else (),
+                )
+            self._step_cache[key] = fn
         return self._step_cache[key]
 
     def step(self, n: int = 1) -> None:
-        f = self._stepper()
-        for _ in range(n):
+        """Advance n physics steps.
+
+        Steps are batched into lax.scan chunks of `scan_chunk` substeps per
+        dispatch (amortizing the ~5 ms relay dispatch overhead; division and
+        bond rewrites run fully in-jit, so scanning is semantics-preserving).
+        Under auto_grow, the chunk size is additionally bounded so the
+        population cannot outgrow capacity mid-chunk; the grow check runs
+        between chunks (growth policy cs:788-792)."""
+        remaining = n
+        while remaining > 0:
+            safe = remaining
             if self.auto_grow:
                 self._maybe_grow()
-                f = self._stepper()
-            self.state = f(self.state, self.genome_dev)
+                headroom = self.state.capacity - int(self.state.active_count)
+                safe = max(
+                    1, headroom // max(1, self.params.max_splits_per_step)
+                )
+            # Only two compiled variants ever exist: the scan_chunk-sized
+            # scan and the single step (used for tails / tight headroom).
+            c = (
+                self.scan_chunk
+                if (remaining >= self.scan_chunk and safe >= self.scan_chunk)
+                else 1
+            )
+            self.state = self._stepper(c)(self.state, self.genome_dev)
+            remaining -= c
 
     def run(self, n_steps: int, block: bool = True) -> float:
         """Run n steps, return measured physics steps/sec."""
@@ -283,6 +314,7 @@ class Simulation:
         sim.rng_mode = "jax"
         sim.auto_grow = False
         sim.donate = True
+        sim.scan_chunk = 32
         sim.genome_dev = genome.to_device()
         sim._step_cache = {}
         sim.state = state
