@@ -1,29 +1,30 @@
 """Pallas TPU kernels for the dense-grid SPH hot path.
 
-Same math and data layout as sph_tpu.sph.dense (see its module docstring for
-the lane-roll pair-enumeration scheme), with three structural upgrades over
-the naive full sweep:
+Same math as sph_tpu.sph.dense's XLA twin — the pair arithmetic is literally
+shared (sph.dense.density_pair_term / accel_pair_terms) and both paths use
+the same per-element accumulation order, so they agree to within XLA's
+graph-shape-dependent FMA contraction (~1 ulp of the sums; asserted at
+tight tolerance in tests/test_dense.py and on-chip by bench.py --verify).
 
-- NEWTON PAIR SYMMETRY: only half the (dz, dy, D) stencil variants are swept
-  (groups A/B/C, sph.dense docs); each iteration emits the own-side
-  contribution AND the mirror (partner-side) contribution. Mirror tiles ride
-  the fori carry and are rolled together with the candidate tiles, so lane
-  alignment is free; one static de-roll at group end restores the absolute
-  frame. Mirrors that target row+1 / plane+1 are written to separate output
-  arrays and folded in by sph.dense.combine_mirror_parts (shared with the
-  XLA twin — bit-identical by construction).
-- ROW-BLOCKED GRID: the grid is (N0 planes, N1/RB row blocks); row halos
-  come from one-tile neighbor-block fetches, bounding VMEM at any problem
-  size (1M/4M states, large 2D planes). RB is picked per shape from a VMEM
-  budget.
-- TILE SKIP: per 8-row tile occupancy (SMEM) gates all work with pl.when —
-  empty space costs DMA only. Skipped tiles differ from the XLA twin only at
-  sentinel lanes (garbage → rest-density fixup / exact ±0 accel), never at
-  real particles.
+Structure (see sph.dense's sweep docs for the full derivation):
 
-Bit-identical to the XLA twin at real lanes (tests/test_dense.py); the pair
-arithmetic itself is literally shared (sph.dense.density_pair_term /
-accel_pair_terms).
+- TRANSPOSED TILES [rows, K(slots, sublanes), X(cells, lanes)]: measured on
+  this VPU, lane rolls cost ~28 fma-equivalents per element while sublane
+  rolls are free. The slot-offset sweep (m) rides sublanes; only the cell
+  offset dx ∈ {−1,0,+1} needs lane rolls — one per field per group instead
+  of one per pair iteration (~15× fewer lane-roll bytes than the canonical
+  lane-major sweep).
+- NEWTON PAIR SYMMETRY: groups A/B/C/D sweep half the (dz, dy, dx, m)
+  variant space; each iteration also emits the mirror (partner-side)
+  contribution. Mirror lumps ride the fori carry slot-rolled (free
+  alignment); in-plane mirrors (A, B) fold straight into the accumulator,
+  row/plane-crossing mirrors (C, D) go to separate outputs folded by
+  sph.dense.combine_mirror_parts.
+- ROW-BLOCKED GRID (N0 planes × N1/RB row blocks) with one-tile neighbor
+  halo fetches: bounds VMEM at any problem size. RB picked per shape.
+- TILE SKIP: per 8-row tile occupancy (SMEM) gates all work with pl.when.
+  Skipped tiles differ from the XLA twin only at sentinel lanes (garbage →
+  rest-density fixup / exact ±0 accel), never at real particles.
 """
 
 from __future__ import annotations
@@ -42,6 +43,9 @@ from sph_tpu.sph.dense import (
     density_pair_term,
     density_self_term,
     dys_c,
+    from_transposed,
+    sweep_groups,
+    to_transposed,
 )
 
 TB = 8  # sublane tile rows
@@ -51,10 +55,6 @@ _VMEM_BUDGET = 10 * 2 ** 20
 def _interpret() -> bool:
     """Pallas TPU kernels run in interpreter mode on CPU (tests)."""
     return jax.default_backend() != "tpu"
-
-
-def _roll_lanes(x: jnp.ndarray, d: int) -> jnp.ndarray:
-    return jnp.roll(x, -d, axis=1) if d else x
 
 
 def tile_occupancy(occ: jnp.ndarray) -> jnp.ndarray:
@@ -85,13 +85,14 @@ def _pick_rb(N1: int, L: int, nf: int, nz: int, n_out: int) -> int:
     return best
 
 
-def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, st1: bool,
+def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
                    dysc: tuple, nbb: int, pair_fn, self_init, sign: int):
-    """Generic Newton-symmetric pair sweep over one (plane, row-block).
+    """Newton-symmetric transposed pair sweep over one (plane, row-block).
 
-    refs: occ_tile (SMEM), then per field × zi: (main, prev-halo, next-halo)
-    blocks, then outputs: ncomp own accumulators, ncomp group-B row mirrors
-    (if st1), ncomp group-C plane mirrors per dy in dysc (if nz == 2)."""
+    refs: occ_tile (SMEM, full tile-flag row), then per field × zi:
+    (main, prev-halo, next-halo) blocks [1, rows, K, X], then outputs:
+    ncomp own accumulators, ncomp m_row parts (if any 'row' group), ncomp
+    m_c parts per dy (if any plane group)."""
     occ_t = refs[0]
     fr = refs[1:1 + nf * nz * 3]
     outs = refs[1 + nf * nz * 3:]
@@ -100,7 +101,7 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, st1: bool,
     for o in outs:
         o[0] = jnp.zeros_like(o[0])
 
-    # Row pads per (field, zi): [RB+2, L], halo rows from neighbor blocks.
+    # Row pads per (field, zi): [RB+2, K, X], halo rows from neighbor blocks.
     pads = []
     for f in range(nf):
         row = []
@@ -112,9 +113,21 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, st1: bool,
             )
         pads.append(row)
 
-    L = pads[0][0].shape[1]
-    two_k = 2 * k
-    full_d0, full_t = -(2 * k - 1), 4 * k - 1
+    X = pads[0][0].shape[2]
+    dy_out = {}
+    oi = ncomp
+    if any(g[5] == "row" for g in groups):
+        dy_out["row"] = oi
+        oi += ncomp
+    for dy in dysc:
+        dy_out[dy] = oi
+        oi += ncomp
+
+    def slot_roll(t, s):
+        return jnp.roll(t, -s, axis=1) if s % k else t
+
+    def lane_roll(t, s):
+        return jnp.roll(t, -s, axis=2) if s else t
 
     for yt in range(nbb):
         @pl.when(occ_t[0, 0, yb0 + yt] > 0)
@@ -122,60 +135,67 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, st1: bool,
             r0 = yt * TB
             cs = [pads[f][0][r0 + 1:r0 + 1 + TB] for f in range(nf)]
             accs = [
-                jnp.full((TB, L), self_init, jnp.float32)
+                jnp.full((TB, k, X), self_init, jnp.float32)
                 if (c == 0 and self_init is not None)
-                else jnp.zeros((TB, L), jnp.float32)
+                else jnp.zeros((TB, k, X), jnp.float32)
                 for c in range(ncomp)
             ]
 
-            def run(zi, dy, d0, t_count, accs):
-                qs = [
-                    _roll_lanes(pads[f][zi][r0 + 1 + dy:r0 + 1 + dy + TB], d0)
-                    for f in range(nf)
-                ]
-                ms = [jnp.zeros((TB, L), jnp.float32)] * ncomp
+            for dz, dy, dxs, ms, mirror_ms, dest in groups:
+                ms = list(ms)
+                mirror_ms = set(mirror_ms)
+                m0, n_m = ms[0], len(ms)
+                # Mirror-emitting prefix must be contiguous from m0 so the
+                # fori can gate it by iteration count (true for all groups).
+                n_mirror = len(mirror_ms)
+                assert set(ms[:n_mirror]) == mirror_ms
+                for dx in dxs:
+                    base = [
+                        lane_roll(
+                            pads[f][dz][r0 + 1 + dy:r0 + 1 + dy + TB], dx
+                        )
+                        for f in range(nf)
+                    ]
+                    qs = [slot_roll(b, m0) for b in base]
+                    lumps = [jnp.zeros((TB, k, X), jnp.float32)] * ncomp
 
-                def body(_i, carry):
-                    qs = list(carry[:nf])
-                    ms = list(carry[nf:nf + ncomp])
-                    accs = list(carry[nf + ncomp:])
-                    ts = pair_fn(*cs, *qs)
-                    accs = [a + t for a, t in zip(accs, ts)]
-                    ms = [m + t for m, t in zip(ms, ts)]
-                    qs = [_roll_lanes(q, 1) for q in qs]
-                    ms = [_roll_lanes(m, 1) for m in ms]
-                    return (*qs, *ms, *accs)
+                    def body(i, carry, n_mirror=n_mirror):
+                        qs = list(carry[:nf])
+                        lm = list(carry[nf:nf + ncomp])
+                        accs = list(carry[nf + ncomp:])
+                        ts = pair_fn(*cs, *qs)
+                        accs = [a + t for a, t in zip(accs, ts)]
+                        gate = (i < n_mirror).astype(jnp.float32)
+                        lm = [m + t * gate for m, t in zip(lm, ts)]
+                        qs = [slot_roll(q, 1) for q in qs]
+                        lm = [slot_roll(m, 1) for m in lm]
+                        return (*qs, *lm, *accs)
 
-                out = jax.lax.fori_loop(
-                    0, t_count, body, (*qs, *ms, *accs)
-                )
-                m_abs = [
-                    _roll_lanes(m, -two_k) for m in out[nf:nf + ncomp]
-                ]
-                return list(out[nf + ncomp:]), m_abs
-
-            # Group A: same cell column, mirrors fold into the accumulator.
-            accs, m_a = run(0, 0, 1, 2 * k - 1, accs)
-            accs = [
-                a + m if sign > 0 else a - m for a, m in zip(accs, m_a)
-            ]
-            oi = ncomp
-            if st1:
-                accs, m_b = run(0, 1, full_d0, full_t, accs)
-                for c in range(ncomp):
-                    outs[oi + c][0, r0:r0 + TB, :] = m_b[c]
-                oi += ncomp
-            if nz == 2:
-                for dy in dysc:
-                    accs, m_c = run(1, dy, full_d0, full_t, accs)
-                    for c in range(ncomp):
-                        outs[oi + c][0, r0:r0 + TB, :] = m_c[c]
-                    oi += ncomp
+                    out = jax.lax.fori_loop(
+                        0, n_m, body, (*qs, *lumps, *accs)
+                    )
+                    accs = list(out[nf + ncomp:])
+                    # Slot deroll (frame offset m0+n_m), then lane deroll.
+                    lumps = [
+                        lane_roll(slot_roll(m, -(m0 + n_m)), -dx)
+                        for m in out[nf:nf + ncomp]
+                    ]
+                    if dest == "acc":
+                        accs = [
+                            a + m if sign > 0 else a - m
+                            for a, m in zip(accs, lumps)
+                        ]
+                    else:
+                        base_o = dy_out[dest]
+                        for c in range(ncomp):
+                            outs[base_o + c][0, r0:r0 + TB] = (
+                                outs[base_o + c][0, r0:r0 + TB] + lumps[c]
+                            )
             for c in range(ncomp):
-                outs[c][0, r0:r0 + TB, :] = accs[c]
+                outs[c][0, r0:r0 + TB] = accs[c]
 
 
-def _field_specs(nf: int, nz: int, N0: int, N1: int, L: int, RB: int):
+def _field_specs(nf: int, nz: int, N0: int, N1: int, K: int, X: int, RB: int):
     """Per (field, zi): main block + prev/next row-halo tiles. dz offsets
     clamp at the top plane and yb offsets clamp at the global row edges —
     both inert, since the clamped rows/planes only ever pair with the
@@ -186,30 +206,31 @@ def _field_specs(nf: int, nz: int, N0: int, N1: int, L: int, RB: int):
     for _f in range(nf):
         for dz in range(nz):
             specs.append(pl.BlockSpec(
-                (1, RB, L),
+                (1, RB, K, X),
                 functools.partial(
-                    lambda z, yb, dz=0: (jnp.clip(z + dz, 0, N0 - 1), yb, 0),
+                    lambda z, yb, dz=0:
+                    (jnp.clip(z + dz, 0, N0 - 1), yb, 0, 0),
                     dz=dz,
                 ),
                 memory_space=pltpu.VMEM,
             ))
             specs.append(pl.BlockSpec(
-                (1, TB, L),
+                (1, TB, K, X),
                 functools.partial(
                     lambda z, yb, dz=0: (
                         jnp.clip(z + dz, 0, N0 - 1),
-                        jnp.clip(yb * nbb - 1, 0, nb_tot - 1), 0,
+                        jnp.clip(yb * nbb - 1, 0, nb_tot - 1), 0, 0,
                     ),
                     dz=dz,
                 ),
                 memory_space=pltpu.VMEM,
             ))
             specs.append(pl.BlockSpec(
-                (1, TB, L),
+                (1, TB, K, X),
                 functools.partial(
                     lambda z, yb, dz=0: (
                         jnp.clip(z + dz, 0, N0 - 1),
-                        jnp.clip((yb + 1) * nbb, 0, nb_tot - 1), 0,
+                        jnp.clip((yb + 1) * nbb, 0, nb_tot - 1), 0, 0,
                     ),
                     dz=dz,
                 ),
@@ -220,40 +241,44 @@ def _field_specs(nf: int, nz: int, N0: int, N1: int, L: int, RB: int):
 
 def _newton_call(fields, occ, spec, pair_fn, ncomp, self_init, sign,
                  flops_per_lane, transc_per_lane):
-    """Shared pallas_call builder for the density / accel sweeps. Returns
-    (own, m_rowB, m_cs) raw part arrays (combine left to the caller)."""
+    """Shared pallas_call builder for the density / accel sweeps. Takes
+    canonical [N0, N1, L] fields, returns transposed (own, m_row, m_cs)
+    part arrays (combine + back-transpose left to the caller)."""
     N0, N1, L = fields[0].shape
+    K = spec.k
+    X = L // K
     nf = len(fields)
     nz = 2 if spec.stencil0 else 1
-    st1 = spec.stencil1
+    groups = sweep_groups(spec)
+    has_row = any(g[5] == "row" for g in groups)
     dysc = dys_c(spec) if spec.stencil0 else ()
-    n_out = ncomp * (1 + (1 if st1 else 0) + len(dysc))
+    n_out = ncomp * (1 + (1 if has_row else 0) + len(dysc))
     RB = _pick_rb(N1, L, nf, nz, n_out)
     nbb = RB // TB
 
     occ_t = tile_occupancy(occ)
+    fields_t = [to_transposed(f, K) for f in fields]
     kernel = functools.partial(
-        _newton_kernel, nf=nf, ncomp=ncomp, k=spec.k, nz=nz, st1=st1,
+        _newton_kernel, nf=nf, ncomp=ncomp, k=K, nz=nz, groups=groups,
         dysc=dysc, nbb=nbb, pair_fn=pair_fn, self_init=self_init, sign=sign,
     )
-    # SMEM blocks must keep trailing dims equal to the array's (Pallas TPU
-    # block divisibility rule): pass the whole tile-flag row, index by
-    # yb·nbb + yt inside the kernel.
+    # SMEM blocks keep trailing dims equal to the array's (Pallas TPU block
+    # divisibility rule): whole tile-flag row, indexed by yb·nbb + yt.
     occ_spec = pl.BlockSpec(
         (1, 1, N1 // TB), lambda z, yb: (z, 0, 0), memory_space=pltpu.SMEM
     )
     out_spec = pl.BlockSpec(
-        (1, RB, L), lambda z, yb: (z, yb, 0), memory_space=pltpu.VMEM
+        (1, RB, K, X), lambda z, yb: (z, yb, 0, 0), memory_space=pltpu.VMEM
     )
     args = [occ_t]
-    for f in fields:
+    for f in fields_t:
         args.extend([f] * (3 * nz))
     outs = pl.pallas_call(
         kernel,
         grid=(N0, N1 // RB),
-        in_specs=[occ_spec] + _field_specs(nf, nz, N0, N1, L, RB),
+        in_specs=[occ_spec] + _field_specs(nf, nz, N0, N1, K, X, RB),
         out_specs=[out_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((N0, N1, L), jnp.float32)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((N0, N1, K, X), jnp.float32)] * n_out,
         cost_estimate=pl.CostEstimate(
             flops=N0 * N1 * L * flops_per_lane,
             bytes_accessed=N0 * N1 * L * 4 * (3 * nf * nz + n_out),
@@ -263,41 +288,35 @@ def _newton_call(fields, occ, spec, pair_fn, ncomp, self_init, sign,
     )(*args)
     own = list(outs[:ncomp])
     oi = ncomp
-    m_rowb = None
-    if st1:
-        m_rowb = list(outs[oi:oi + ncomp])
+    m_row = None
+    if has_row:
+        m_row = list(outs[oi:oi + ncomp])
         oi += ncomp
     m_cs = []
     for _dy in dysc:
         m_cs.append(list(outs[oi:oi + ncomp]))
         oi += ncomp
-    return own, m_rowb, m_cs
+    return own, m_row, m_cs
 
 
 def _n_swept(spec) -> int:
     """Swept variants per lane (half the full stencil)."""
-    k = spec.k
-    n = 2 * k - 1                                   # group A
-    if spec.stencil1:
-        n += 4 * k - 1                              # group B
-    if spec.stencil0:
-        n += (4 * k - 1) * len(dys_c(spec))         # group C
-    return n
+    return sum(len(g[2]) * len(list(g[3])) for g in sweep_groups(spec))
 
 
 def density_pallas(px, py, pz, occ, params, spec) -> jnp.ndarray:
     """Scaled raw ρ pass (caller applies the occupancy fixup)."""
     h2 = params.h * params.h
-    own, m_rowb, m_cs = _newton_call(
+    own, m_row, m_cs = _newton_call(
         (px, py, pz), occ, spec,
         pair_fn=lambda *a: density_pair_term(h2, *a),
         ncomp=1, self_init=density_self_term(params), sign=1,
         flops_per_lane=16 * _n_swept(spec), transc_per_lane=0,
     )
-    acc = combine_mirror_parts(
-        own[0], m_rowb[0] if m_rowb else None,
+    acc = from_transposed(combine_mirror_parts(
+        own[0], m_row[0] if m_row else None,
         [m[0] for m in m_cs], spec, sign=1,
-    )
+    ))
     return params.particle_mass * KN.poly6_coeff(params.h, params.ndim) * acc
 
 
@@ -313,15 +332,15 @@ def accel_pallas(d, pr2, params, spec):
         *a,
     )
     fields = (d.px, d.py, d.pz, d.vx, d.vy, d.vz, irho, pr2)
-    own, m_rowb, m_cs = _newton_call(
+    own, m_row, m_cs = _newton_call(
         fields, d.occ, spec, pair_fn=pair, ncomp=3, self_init=None, sign=-1,
         flops_per_lane=40 * _n_swept(spec),
         transc_per_lane=2 * _n_swept(spec),
     )
     return tuple(
-        combine_mirror_parts(
-            own[c], m_rowb[c] if m_rowb else None,
+        from_transposed(combine_mirror_parts(
+            own[c], m_row[c] if m_row else None,
             [ms[c] for ms in m_cs], spec, sign=-1,
-        )
+        ))
         for c in range(3)
     )

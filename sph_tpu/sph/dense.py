@@ -13,12 +13,14 @@ sorts in the hot loop:
 - Empty lanes hold a SENTINEL position (1e9) so every pair test
   (relu(h² − r²) etc.) rejects them arithmetically — no occupancy masks in
   the pair loop.
-- Pair enumeration: for dz, dy ∈ {−1,0,1} roll the z/y axes; for the x axis
-  roll the LANE dimension by D ∈ [−(2K−1), 2K−1]. For a particle in lane
-  x·K+k this reaches every lane of cells x−1, x, x+1 exactly once (and spills
-  a few lanes into x±2, whose distance ≥ cell ≥ h, so the kernel support test
-  rejects them — that is why cell_size ≥ h is required). Rolls wrap into the
-  margin ring, which is sentinel, so wraps are inert too.
+- Pair enumeration runs on the TRANSPOSED [Z, Y, K(slots), X(cells)] view:
+  (dz, dy) roll the z/y axes, dx ∈ {−1,0,1} rolls the cell (lane) axis, and
+  the slot offset m ∈ [0, K) rolls SUBLANES (free on the VPU; lane rolls
+  cost ~28 fma-equivalents/element — measured). The sweep is Newton-halved:
+  each swept variant also emits the partner-side contribution (see the
+  sweep-group comment below). Rolls wrap into the margin ring, which is
+  sentinel, so wraps are inert. cell_size ≥ h is required so ±1-cell
+  stencils cover the kernel support.
 - Rebinning: particles move ≤ 1 cell per rebin (the `rebin_vmax` clamp
   enforces it), so migration decomposes into one masked ≤3K→K compaction per
   axis (shift-major deterministic order). Cell overflow and unreachable
@@ -210,25 +212,45 @@ def _roll(f: jnp.ndarray, dz: int, dy: int, D: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Newton-symmetric pair sweep (shared algebra for the XLA twin and the Pallas
-# kernels in ops/pallas/fluid.py — both MUST stay bit-identical).
+# Newton-symmetric pair sweep on the TRANSPOSED [Z, Y, K(slots), X(cells)]
+# view (shared algebra for the XLA twin and the Pallas kernels in
+# ops/pallas/fluid.py — both MUST stay bit-identical).
 #
-# The full stencil is (dz, dy, D) for dz/dy ∈ {−1,0,1} (along active layout
-# dims) and D ∈ [−(2K−1), 2K−1]. Each pair appears twice: variant v at lane i
-# and variant −v at lane j. We sweep HALF the variants and emit both sides:
-#   group A: dz=0, dy=0, D ∈ [1, 2K−1]   (self pair D=0 peeled; density only)
-#   group B: dz=0, dy=+1, D full          (mirrors cover dy=−1)     [stencil1]
-#   group C: dz=+1, dy ∈ dysC, D full     (mirrors cover dz=−1)     [stencil0]
-# Own-side contributions accumulate in place. Mirror contributions target
-# lane i+D / row +dy / plane +1; lane alignment is a roll-back by D, row and
-# plane alignment happen in `combine_mirror_parts` (one whole-array roll per
-# part). Mirror sign: density +1 (symmetric), accel −1 (Newton's third law).
+# Measured on the v5e VPU: lane rolls cost ~28 fma-equivalents per element,
+# sublane rolls are free. The canonical lane dim X·K mixes cells and slots,
+# so pair enumeration there needs 4K−1 LANE rolls per stencil cell. In the
+# transposed view, slots live on SUBLANES: the pair space factorizes into
+# (dz planes, dy rows, dx cells, m slot-offset) where the m sweep is a free
+# sublane roll and only dx ∈ {−1,0,+1} costs a lane roll (one per group).
+#
+# Newton halving (mirror of (dz,dy,dx,m) is (−dz,−dy,−dx,(K−m)%K)):
+#   group A: (0,0,0), m ∈ [1, K/2]   — m=K/2 is its own mirror (own-only);
+#            the m=0 self pair is peeled (density adds a constant).
+#   group B: (0,0,+1), m ∈ [0,K)     — mirrors cover dx=−1; mirror targets
+#            stay in-plane/in-row, so they fold into the accumulator.
+#   group C: (0,+1,dx∈{−1,0,+1})     — mirrors cover dy=−1 → m_row part.
+#   group D: (+1,dy∈dysC,dx)         — mirrors cover dz=−1 → m_c[dy] parts.
+# Mirror slot/lane alignment happens in-kernel (sublane deroll free, one
+# lane deroll per group); row/plane alignment happens in
+# `combine_mirror_parts` (one whole-array roll per part). Mirror sign:
+# density +1 (symmetric), accel −1 (Newton's third law).
 # ---------------------------------------------------------------------------
 
 
 def dys_c(spec: DenseSpec) -> tuple:
-    """Group-C dy offsets (±1 only when layout dim 1 has a stencil)."""
+    """Group-D dy offsets (±1 only when layout dim 1 has a stencil)."""
     return (-1, 0, 1) if spec.stencil1 else (0,)
+
+
+def to_transposed(a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[N0, N1, X·K] canonical → [N0, N1, K, X] slot-major view."""
+    n0, n1, lanes = a.shape
+    return a.reshape(n0, n1, lanes // k, k).transpose(0, 1, 3, 2)
+
+
+def from_transposed(a: jnp.ndarray) -> jnp.ndarray:
+    n0, n1, k, x = a.shape
+    return a.transpose(0, 1, 3, 2).reshape(n0, n1, k * x)
 
 
 def density_self_term(params: SPHParams) -> float:
@@ -272,11 +294,12 @@ def accel_pair_terms(h, neg_m_spiky, visc_mc,
     return tx, ty, tz
 
 
-def combine_mirror_parts(own, m_rowB, m_cs, spec: DenseSpec, sign: int):
-    """Fold the mirror part arrays into the own-side accumulator.
+def combine_mirror_parts(own, m_row, m_cs, spec: DenseSpec, sign: int):
+    """Fold the mirror part arrays into the own-side accumulator (all in the
+    transposed [Z, Y, K, X] view).
 
-    m_rowB holds group-B mirrors at OWN rows (destination = row+1, same
-    plane); m_cs[i] holds group-C mirrors for dy = dys_c(spec)[i] at OWN
+    m_row holds group-C mirrors at OWN rows (destination = row+1, same
+    plane); m_cs[i] holds group-D mirrors for dy = dys_c(spec)[i] at OWN
     rows/planes (destination = plane+1, row+dy). Shared by the XLA twin and
     the Pallas wrappers so the final per-element addition order is identical
     in both by construction."""
@@ -284,7 +307,7 @@ def combine_mirror_parts(own, m_rowB, m_cs, spec: DenseSpec, sign: int):
     def fold(acc, part):
         return acc + part if sign > 0 else acc - part
     if spec.stencil1:
-        out = fold(out, jnp.roll(m_rowB, 1, axis=1))
+        out = fold(out, jnp.roll(m_row, 1, axis=1))
     if spec.stencil0:
         for dy, m in zip(dys_c(spec), m_cs):
             shifts = (1, dy) if dy else (1,)
@@ -293,12 +316,32 @@ def combine_mirror_parts(own, m_rowB, m_cs, spec: DenseSpec, sign: int):
     return out
 
 
-def _sweep_xla(fields, pair_fn, ncomp, self_init, spec: DenseSpec, sign: int):
-    """XLA twin of the Newton-symmetric sweep: whole-array rolls, one
-    contribution + one lane-aligned mirror per swept variant, accumulation
-    order matching ops/pallas/fluid.py exactly."""
+def sweep_groups(spec: DenseSpec):
+    """The Newton-halved variant groups: (dz, dy, dxs, ms, mirror_ms, dest)
+    where dest is 'acc' (mirrors fold into the accumulator), 'row' (m_row
+    part) or dy (m_c part index)."""
     K = spec.k
-    shape = fields[0].shape
+    assert K % 2 == 0, "dense_k must be even for the Newton slot split"
+    allm = range(K)
+    groups = [
+        (0, 0, (0,), range(1, K // 2 + 1), range(1, K // 2), "acc"),
+        (0, 0, (1,), allm, allm, "acc"),
+    ]
+    if spec.stencil1:
+        groups.append((0, 1, (-1, 0, 1), allm, allm, "row"))
+    if spec.stencil0:
+        for dy in dys_c(spec):
+            groups.append((1, dy, (-1, 0, 1), allm, allm, dy))
+    return groups
+
+
+def _sweep_xla(fields_t, pair_fn, ncomp, self_init, spec: DenseSpec,
+               sign: int):
+    """XLA twin of the Newton-symmetric transposed sweep. Whole-array rolls;
+    per (group, dx) one mirror lump accumulated in slot order then
+    slot+lane-derolled — matching the accumulation order of
+    ops/pallas/fluid.py exactly."""
+    shape = fields_t[0].shape
     zeros = jnp.zeros(shape, jnp.float32)
     accs = [
         jnp.full(shape, self_init, jnp.float32)
@@ -306,28 +349,36 @@ def _sweep_xla(fields, pair_fn, ncomp, self_init, spec: DenseSpec, sign: int):
         for i in range(ncomp)
     ]
 
-    def run(dz, dy, d_range, accs):
-        ms = [zeros] * ncomp
-        for D in d_range:
-            qs = [_roll(f, dz, dy, D) for f in fields]
-            ts = pair_fn(*fields, *qs)
-            accs = [a + t for a, t in zip(accs, ts)]
-            ms = [m + jnp.roll(t, D, axis=2) for m, t in zip(ms, ts)]
-        return accs, ms
+    m_row = [zeros] * ncomp if spec.stencil1 else None
+    m_cs = [[zeros] * ncomp for _ in dys_c(spec)] if spec.stencil0 else []
+    dy_index = {dy: i for i, dy in enumerate(dys_c(spec))}
 
-    full = range(-(2 * K - 1), 2 * K)
-    # Group A: same cell column; mirrors fold straight into the accumulator.
-    accs, mA = run(0, 0, range(1, 2 * K), accs)
-    accs = [a + m if sign > 0 else a - m for a, m in zip(accs, mA)]
-    m_rowB = None
-    if spec.stencil1:
-        accs, m_rowB = run(0, 1, full, accs)
-    m_cs = []
-    if spec.stencil0:
-        for dy in dys_c(spec):
-            accs, ms = run(1, dy, full, accs)
-            m_cs.append(ms)
-    return accs, m_rowB, m_cs
+    for dz, dy, dxs, ms, mirror_ms, dest in sweep_groups(spec):
+        for dx in dxs:
+            lumps = [zeros] * ncomp
+            for m in ms:
+                qs = [
+                    jnp.roll(f, (-dz, -dy, -m, -dx), (0, 1, 2, 3))
+                    for f in fields_t
+                ]
+                ts = pair_fn(*fields_t, *qs)
+                accs = [a + t for a, t in zip(accs, ts)]
+                if m in mirror_ms:
+                    lumps = [
+                        lm + jnp.roll(t, (m, dx), (2, 3))
+                        for lm, t in zip(lumps, ts)
+                    ]
+            if dest == "acc":
+                accs = [
+                    a + lm if sign > 0 else a - lm
+                    for a, lm in zip(accs, lumps)
+                ]
+            elif dest == "row":
+                m_row = [p + lm for p, lm in zip(m_row, lumps)]
+            else:
+                i = dy_index[dest]
+                m_cs[i] = [p + lm for p, lm in zip(m_cs[i], lumps)]
+    return accs, m_row, m_cs
 
 
 def density_pass(d: DenseFluidState, params: SPHParams,
@@ -335,15 +386,15 @@ def density_pass(d: DenseFluidState, params: SPHParams,
     """ρ over all lanes; empty lanes forced to rest density (keeps the EOS
     and force math NaN-free without masks)."""
     h2 = params.h * params.h
-    accs, m_rowB, m_cs = _sweep_xla(
-        (d.px, d.py, d.pz),
+    accs, m_row, m_cs = _sweep_xla(
+        tuple(to_transposed(a, spec.k) for a in (d.px, d.py, d.pz)),
         lambda *a: density_pair_term(h2, *a),
         ncomp=1, self_init=density_self_term(params), spec=spec, sign=1,
     )
-    acc = combine_mirror_parts(
-        accs[0], m_rowB[0] if m_rowB else None,
+    acc = from_transposed(combine_mirror_parts(
+        accs[0], m_row[0] if m_row else None,
         [m[0] for m in m_cs], spec, sign=1,
-    )
+    ))
     rho = params.particle_mass * KN.poly6_coeff(params.h, params.ndim) * acc
     return jnp.where(d.occ > 0.5, jnp.maximum(rho, 1e-6), params.rest_density)
 
@@ -361,15 +412,18 @@ def accel_pass(d: DenseFluidState, params: SPHParams, spec: DenseSpec):
               * KN.viscosity_lap_coeff(params.h, params.ndim)),
         *a,
     )
-    fields = (d.px, d.py, d.pz, d.vx, d.vy, d.vz, irho, pr2)
-    accs, m_rowB, m_cs = _sweep_xla(
+    fields = tuple(
+        to_transposed(a, spec.k)
+        for a in (d.px, d.py, d.pz, d.vx, d.vy, d.vz, irho, pr2)
+    )
+    accs, m_row, m_cs = _sweep_xla(
         fields, pair, ncomp=3, self_init=None, spec=spec, sign=-1,
     )
     return tuple(
-        combine_mirror_parts(
-            accs[c], m_rowB[c] if m_rowB else None,
+        from_transposed(combine_mirror_parts(
+            accs[c], m_row[c] if m_row else None,
             [ms[c] for ms in m_cs], spec, sign=-1,
-        )
+        ))
         for c in range(3)
     )
 

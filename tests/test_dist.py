@@ -1,5 +1,9 @@
-"""Multi-device domain decomposition: sharded == single-device bit-for-bit
-on the virtual CPU mesh (SURVEY §4 item 4).
+"""Multi-device domain decomposition: sharded == single-device on the
+virtual CPU mesh (SURVEY §4 item 4). Occupancy (data movement) is compared
+bitwise; float fields at last-ulp tolerance — XLA's FMA contraction is
+graph-shape-dependent, so the sharded and single-device programs can differ
+by ~1 ulp per accumulation even with identical op order (the XLA twin
+differs from ITSELF jit-vs-eager; see tests/test_dense.py).
 
 One shared configuration for every test (the XLA-twin compile is expensive
 on CPU): k=4, cell_factor=1.3, rebin_every=3, random fluid with real
@@ -87,12 +91,20 @@ def test_exchange_halo_ring():
         np.testing.assert_array_equal(out[i, -1], base[(i + 1) % 4, 0])
 
 
+def _assert_state_matches(ref, out):
+    """Occupancy bitwise; floats at last-ulp contraction tolerance."""
+    np.testing.assert_array_equal(np.asarray(ref.occ), np.asarray(out.occ))
+    np.testing.assert_allclose(np.asarray(ref.px), np.asarray(out.px),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.vy), np.asarray(out.vy),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.rho), np.asarray(out.rho),
+                               rtol=1e-6)
+
+
 def test_sharded_matches_single_device(runs):
     _, ref, out = runs
-    np.testing.assert_array_equal(np.asarray(ref.occ), np.asarray(out.occ))
-    np.testing.assert_array_equal(np.asarray(ref.px), np.asarray(out.px))
-    np.testing.assert_array_equal(np.asarray(ref.vy), np.asarray(out.vy))
-    np.testing.assert_array_equal(np.asarray(ref.rho), np.asarray(out.rho))
+    _assert_state_matches(ref, out)
 
 
 def test_population_conserved_across_shards(runs):
@@ -114,8 +126,8 @@ def test_particles_actually_migrated(runs):
 
 def test_autopad_8dev_matches_single_device(runs):
     """Full 8-device mesh with an n0 NOT divisible by the device count:
-    make_sharded_dense_step must pad internally and still be bit-identical
-    to the single-device run (uses the cached 4-dev reference's d0/ref —
+    make_sharded_dense_step must pad internally and still match the
+    single-device run (uses the cached 4-dev reference's d0/ref —
     spec.n0 is a multiple of 4 but not of 8)."""
     d0, ref, _ = runs
     state, params = random_fluid(400)
@@ -134,5 +146,7 @@ def test_autopad_8dev_matches_single_device(runs):
     )(shard_dense_state(d0, mesh))
     assert out.px.shape == ref.px.shape
     np.testing.assert_array_equal(np.asarray(ref.occ), np.asarray(out.occ))
-    np.testing.assert_array_equal(np.asarray(ref.px), np.asarray(out.px))
-    np.testing.assert_array_equal(np.asarray(ref.vy), np.asarray(out.vy))
+    np.testing.assert_allclose(np.asarray(ref.px), np.asarray(out.px),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.vy), np.asarray(out.vy),
+                               rtol=1e-5, atol=1e-6)
