@@ -87,6 +87,36 @@ def cmd_cells(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from sph_tpu.app.viewer import ViewerLoop, load_script
+    from sph_tpu.engine.config import (
+        load_scene,
+        reference_genome,
+        reference_scene_params,
+    )
+    from sph_tpu.engine.simulation import Simulation
+
+    if args.scene_json:
+        params, genome = load_scene(args.scene_json)
+    else:
+        genome = reference_genome()
+        params = reference_scene_params(capacity=args.capacity).replace(
+            dt=args.dt, max_splits_per_step=16,
+        )
+    sim = Simulation(genome, params, auto_grow=args.auto_grow,
+                     scan_chunk=args.substeps)
+    viewer = ViewerLoop(sim, width=args.width, height=args.height,
+                        substeps=args.substeps, show_labels=args.labels)
+    script = load_script(args.script) if args.script else None
+    stats = viewer.run(
+        args.frames, script=script,
+        out_dir=args.out if args.render else None, tty=args.tty,
+    )
+    if not args.tty:
+        print(json.dumps(stats[-1]))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sph_tpu.app")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -116,6 +146,28 @@ def main(argv=None) -> int:
     c.add_argument("--out", default="out")
     c.add_argument("--checkpoint", default="")
     c.set_defaults(fn=cmd_cells)
+
+    v = sub.add_parser(
+        "view", help="interactive viewer loop (drag/camera while running)"
+    )
+    v.add_argument("--capacity", type=int, default=64)
+    v.add_argument("--frames", type=int, default=120)
+    v.add_argument("--substeps", type=int, default=4,
+                   help="physics steps per displayed frame (one dispatch)")
+    v.add_argument("--dt", type=float, default=1 / 60)
+    v.add_argument("--auto-grow", action="store_true")
+    v.add_argument("--scene-json", default="")
+    v.add_argument("--width", type=int, default=800)
+    v.add_argument("--height", type=int, default=450)
+    v.add_argument("--script", default="",
+                   help="JSON event script: {frame: [events...]}")
+    v.add_argument("--render", action="store_true",
+                   help="write frames to --out")
+    v.add_argument("--tty", action="store_true",
+                   help="draw frames in the terminal (ANSI half-blocks)")
+    v.add_argument("--labels", action="store_true")
+    v.add_argument("--out", default="out")
+    v.set_defaults(fn=cmd_view)
 
     args = ap.parse_args(argv)
     return args.fn(args)

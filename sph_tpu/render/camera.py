@@ -103,6 +103,19 @@ class Camera:
         self.position = (target - d * distance).astype(np.float32)
         self.orbit_target = target
 
+    def pixel_ray(self, x: float, y: float, width: int, height: int):
+        """(origin, dir) of the world ray through pixel (x, y) — the inverse
+        of splat.project_points; used for mouse picking
+        (ParticleSystemController.cs:977-1013 casts the same camera ray)."""
+        r, u, f = self.basis()
+        tanf = float(np.tan(np.deg2rad(self.fov_deg) * 0.5))
+        aspect = width / height
+        ndc_x = (x / max(width - 1, 1) - 0.5) * 2.0
+        ndc_y = (1.0 - y / max(height - 1, 1) - 0.5) * 2.0
+        d = r * (ndc_x * tanf * aspect) + u * (ndc_y * tanf) + f
+        d = d / max(np.linalg.norm(d), 1e-12)
+        return self.position.copy(), d.astype(np.float32)
+
     # -- transform for the rasterizer ----------------------------------------
 
     def view_params(self):

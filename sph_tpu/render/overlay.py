@@ -73,9 +73,14 @@ def draw_overlays(
 
 
 def render_cells_frame(sim, camera=None, width=800, height=450,
-                       show_labels=True, show_bonds=True, path=None):
-    """Full cell-sim frame: on-device splat + host overlays (ids, bonds,
-    drag marker) — the reference's complete visual channel set."""
+                       show_labels=True, show_bonds=True, path=None,
+                       impostor=True):
+    """Full cell-sim frame: on-device spheres + host overlays (ids, bonds,
+    drag marker) — the reference's complete visual channel set.
+
+    impostor=True renders radius-scaled, orientation-shaded sphere impostors
+    with the red forward-axis dot (InstancedParticles.shader:84-116,
+    146-177); False falls back to the cheaper additive splats."""
     import jax.numpy as jnp
 
     from sph_tpu.render.camera import Camera
@@ -90,10 +95,18 @@ def render_cells_frame(sim, camera=None, width=800, height=450,
         jnp.clip(sim.state.mode, 0, n_modes - 1)
     ]
     mask = jnp.arange(sim.state.capacity) < sim.state.active_count
-    img = render_points(
-        sim.state.pos, camera.view_params(), width=width, height=height,
-        colors=colors, mask=mask, splat_radius_px=4,
-    )
+    if impostor:
+        from sph_tpu.render.impostor import render_spheres
+
+        img = render_spheres(
+            sim.state.pos, sim.state.radius, sim.state.rot, colors,
+            camera.view_params(), width=width, height=height, mask=mask,
+        )
+    else:
+        img = render_points(
+            sim.state.pos, camera.view_params(), width=width, height=height,
+            colors=colors, mask=mask, splat_radius_px=4,
+        )
 
     n = int(sim.state.active_count)
     labels = None

@@ -33,17 +33,22 @@ def project_points(pos, eye, right, up, forward, tan_half_fov, width, height):
     return px, py, z_cam, visible
 
 
-def _gaussian_kernel(radius_px: int):
+def _gaussian_kernel(radius_px: int, normalize: bool = True):
     x = jnp.arange(-radius_px, radius_px + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (x / max(radius_px * 0.5, 0.5)) ** 2)
-    return k / jnp.sum(k)
+    return k / jnp.sum(k) if normalize else k
 
 
-def _blur(img, radius_px: int):
-    """Separable gaussian blur over [H, W, C] (two 1D convolutions)."""
+def _blur(img, radius_px: int, normalize: bool = True):
+    """Separable gaussian blur over [H, W, C] (two 1D convolutions).
+
+    normalize=True preserves total energy (diffusion); normalize=False keeps
+    the PEAK at 1 — a point grows into a radius_px-wide disk of comparable
+    brightness, which is what screen-space radius scaling wants.
+    """
     if radius_px <= 0:
         return img
-    k = _gaussian_kernel(radius_px)
+    k = _gaussian_kernel(radius_px, normalize)
     n = k.shape[0]
     c = img.shape[-1]
     eye = jnp.eye(c, dtype=jnp.float32)
@@ -70,11 +75,18 @@ def render_points(
     splat_radius_px: int = 2,
     exposure: float | None = None,   # None = auto-gain from the brightest pixel
     background: tuple[float, float, float] = (0.02, 0.02, 0.05),
+    radius: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Additive point-splat image [H, W, 3] in [0, 1], fully on device.
 
     camera_params: Camera.view_params() tuple. colors: [N, 3] per-particle
     (defaults to depth-cued blue-white). mask: [N] bool for alive particles.
+    radius: optional [N] world radii — when given, splats are binned by
+    PROJECTED pixel size into a few discrete blur radii, so near/large
+    particles visibly render bigger (screen-space radius scaling; the
+    impostor path in render/impostor.py does the exact per-pixel version
+    for cell-scale scenes). Matches InstancedParticles.shader:97's
+    radius-scaled vertices in spirit at fluid scale.
     """
     eye, right, up, forward, tanf = camera_params
     eye = jnp.asarray(eye)
@@ -99,12 +111,28 @@ def render_points(
     iy = jnp.clip(py.astype(jnp.int32), 0, height - 1)
     pid = jnp.where(visible, iy * width + ix, width * height)
 
-    w = visible.astype(jnp.float32)
-    img_flat = jax.ops.segment_sum(
-        colors * w[:, None], pid, num_segments=width * height + 1
-    )[: width * height]
-    img = img_flat.reshape(height, width, 3)
-    img = _blur(img, splat_radius_px)
+    if radius is None:
+        w = visible.astype(jnp.float32)
+        img_flat = jax.ops.segment_sum(
+            colors * w[:, None], pid, num_segments=width * height + 1
+        )[: width * height]
+        img = img_flat.reshape(height, width, 3)
+        img = _blur(img, splat_radius_px)
+    else:
+        # Discrete projected-size classes: r_px ≤ 1.5 → blur 1, ≤ 3 → 2,
+        # ≤ 6 → 4, else 7 pixels.
+        r_px = radius * (height * 0.5) / (jnp.maximum(z, 1e-6) * tanf)
+        bins = ((1.5, 1), (3.0, 2), (6.0, 4), (jnp.inf, 7))
+        img = jnp.zeros((height, width, 3), jnp.float32)
+        lo = -jnp.inf
+        for hi_edge, blur_px in bins:
+            sel = visible & (r_px > lo) & (r_px <= hi_edge)
+            lo = hi_edge
+            w = sel.astype(jnp.float32)
+            part = jax.ops.segment_sum(
+                colors * w[:, None], pid, num_segments=width * height + 1
+            )[: width * height].reshape(height, width, 3)
+            img = img + _blur(part, blur_px, normalize=False)
     if exposure is None:
         # Auto gain: brightest pixel maps to ~0.86 after the tone curve,
         # keeping sparse scenes visible and dense ones unsaturated.

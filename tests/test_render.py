@@ -116,3 +116,61 @@ def test_cells_overlay_frame(tmp_path):
     assert arr.shape == (450, 800, 3)
     # Overlays leave non-background pixels (labels are yellowish, drag green).
     assert (arr[..., 1].astype(int) - arr[..., 2].astype(int) > 60).any()
+
+
+def test_sphere_impostor_radius_and_forward_dot():
+    """Reference parity (InstancedParticles.shader:84-116, 146-177): radius
+    visibly scales the drawn sphere, and the red forward-axis dot appears
+    where the surface normal aligns with the particle's body +Z axis."""
+    import jax
+
+    from sph_tpu.core import quat
+    from sph_tpu.render.impostor import render_spheres
+
+    cam = straight_camera()
+    # Two cells: the right one has twice the radius. Identity rotation means
+    # body +Z == world +Z == pointing AWAY from the camera (forward dot on
+    # the far side, invisible); rotate the left cell 180° about y so its +Z
+    # faces the camera.
+    pos = jnp.array([[-3.0, 0.0, 0.0], [3.0, 0.0, 0.0]])
+    radius = jnp.array([1.0, 2.0])
+    q_flip = quat.from_axis_angle(jnp.array([0.0, 1.0, 0.0]), jnp.pi)
+    rot = jnp.stack([q_flip, quat.identity()])
+    colors = jnp.array([[0.2, 0.8, 0.2], [0.2, 0.2, 0.9]])
+    img = jax.jit(lambda p: render_spheres(
+        p, radius, rot, colors, cam.view_params(), width=160, height=120,
+        window=40,
+    ))(pos)
+    arr = np.asarray(img)
+    assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0
+
+    # Coverage: count pixels dominated by each cell's color channel.
+    bg = np.array([0.02, 0.02, 0.05])
+    fg = np.abs(arr - bg).sum(-1) > 0.05
+    green = fg & (arr[..., 1] > arr[..., 2])
+    blue = fg & (arr[..., 2] > arr[..., 1])
+    assert blue.sum() > 2.5 * green.sum(), (green.sum(), blue.sum())
+
+    # Red forward-axis dot: on the flipped (left/green) cell only — pixels
+    # where red strongly exceeds the base green shading.
+    red_dot = (arr[..., 0] > 0.8) & (arr[..., 0] > arr[..., 1] + 0.3)
+    ys, xs = np.nonzero(red_dot)
+    assert len(xs) > 0
+    assert xs.max() < 80  # all on the left half (the flipped cell)
+
+
+def test_render_points_radius_binning():
+    """Projected-size splat classes: a near/large particle spreads over
+    more pixels than a far/small one."""
+    cam = straight_camera()
+    pos = jnp.array([[-2.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    radius = jnp.array([1.5, 0.05])
+    img = render_points(
+        pos, cam.view_params(), width=128, height=96,
+        colors=jnp.ones((2, 3)), radius=radius, exposure=4.0,
+    )
+    arr = np.asarray(img)
+    lit = arr.sum(-1) > 0.3
+    left = lit[:, :64].sum()
+    right = lit[:, 64:].sum()
+    assert left > 3 * max(right, 1), (left, right)
