@@ -22,7 +22,7 @@ from sph_tpu.biology.bonds import handle_cell_split
 
 
 def queue_splits(
-    state: SimState, params: SimParams, genome: GenomeDevice
+    state: SimState, params: SimParams, genome: GenomeDevice, dt=None
 ) -> SimState:
     """Advance timers, detect ready cells (slot order, capacity-capped), and
     queue their split data computed from CURRENT pose (cs:652-778)."""
@@ -30,8 +30,9 @@ def queue_splits(
     S = state.pending.parent_slot.shape[0]
     slots = jnp.arange(N)
     alive = slots < state.active_count
+    dt = params.dt if dt is None else dt
 
-    timer = jnp.where(alive, state.split_timer + params.dt, state.split_timer)
+    timer = jnp.where(alive, state.split_timer + dt, state.split_timer)
 
     n_modes = genome.n_modes
     mode_valid = alive & (state.mode >= 0) & (state.mode < n_modes)

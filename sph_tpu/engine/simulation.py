@@ -80,7 +80,7 @@ class Simulation:
             self._step_cache[key] = fn
         return self._step_cache[key]
 
-    def step(self, n: int = 1) -> None:
+    def step(self, n: int = 1, dt=None) -> None:
         """Advance n physics steps.
 
         Steps are batched into lax.scan chunks of `scan_chunk` substeps per
@@ -88,7 +88,28 @@ class Simulation:
         bond rewrites run fully in-jit, so scanning is semantics-preserving).
         Under auto_grow, the chunk size is additionally bounded so the
         population cannot outgrow capacity mid-chunk; the grow check runs
-        between chunks (growth policy cs:788-792)."""
+        between chunks (growth policy cs:788-792).
+
+        dt: variable-dt compat (cs:246) — a scalar applied to all n steps,
+        or a length-n sequence of per-step dt values. None = fixed
+        params.dt (recommended)."""
+        if dt is not None:
+            dts = np.broadcast_to(np.asarray(dt, np.float32), (n,)).copy()
+            key = (self.params, self.state.capacity, "vdt")
+            if key not in self._step_cache:
+                from sph_tpu.engine.step import step as _step
+
+                self._step_cache[key] = jax.jit(
+                    lambda st, gd, dt: _step(st, self.params, gd, dt=dt),
+                    donate_argnums=(0,) if self.donate else (),
+                )
+            for d in dts:
+                if self.auto_grow:
+                    self._maybe_grow()
+                self.state = self._step_cache[key](
+                    self.state, self.genome_dev, jnp.float32(d)
+                )
+            return
         remaining = n
         while remaining > 0:
             safe = remaining

@@ -29,27 +29,33 @@ def contact_forces(state: SimState, params: SimParams):
     raise ValueError(f"unknown neighbor_mode {params.neighbor_mode!r}")
 
 
-def step(state: SimState, params: SimParams, genome: GenomeDevice) -> SimState:
+def step(state: SimState, params: SimParams, genome: GenomeDevice,
+         dt=None) -> SimState:
     """One full frame (DESIGN.md §3). `params` is static; jit with
-    static_argnums/closure."""
+    static_argnums/closure.
+
+    `dt` (optional, traced scalar) overrides params.dt for every dt-dependent
+    pass — the variable-dt compat mode mirroring the reference's
+    `Time.deltaTime` stepping (ParticleSystemController.cs:246). Default
+    None = fixed params.dt (the recommended fidelity mode, SURVEY §7)."""
     # 1-2. Division: apply last step's queued splits, then advance timers and
     #      queue new ones (cs:253 runs before all dispatches).
     state = process_pending_splits(state, params, genome)
-    state = queue_splits(state, params, genome)
+    state = queue_splits(state, params, genome, dt=dt)
 
     # 3-4. Neighbor structure + contact force pass (K2/K3/K4).
     force, torque = contact_forces(state, params)
-    state = apply_contact(state, params, force, torque)
+    state = apply_contact(state, params, force, torque, dt=dt)
 
     # 5. Adhesion constraints (K10/K11) — reads post-contact velocities.
-    state = apply_adhesion(state, params, genome)
+    state = apply_adhesion(state, params, genome, dt=dt)
 
     # 6. Interactive drag impulse (K5).
-    state = apply_drag_force(state, params)
+    state = apply_drag_force(state, params, dt=dt)
 
     # 7-8. Motion + rotation integration (K6/K7).
-    state = update_motion(state, params)
-    state = update_rotation(state, params)
+    state = update_motion(state, params, dt=dt)
+    state = update_rotation(state, params, dt=dt)
 
     # 9-10. Bond zone/anchor refresh for young bonds + pruning (LateUpdate).
     state = state.replace_fields(bonds=update_bond_zones(state, params, genome))
@@ -75,10 +81,13 @@ def make_step_fn(params: SimParams, donate: bool = True):
 
 
 def run_steps(state: SimState, params: SimParams, genome: GenomeDevice,
-              n_steps: int) -> SimState:
-    """Roll n physics steps with lax.scan (for benchmarking / headless runs)."""
-    def body(st, _):
-        return step(st, params, genome), None
+              n_steps: int, dts=None) -> SimState:
+    """Roll n physics steps with lax.scan (for benchmarking / headless runs).
 
-    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    dts: optional [n_steps] array of per-step dt values (variable-dt compat,
+    cs:246); None = fixed params.dt."""
+    def body(st, dt):
+        return step(st, params, genome, dt=dt), None
+
+    state, _ = jax.lax.scan(body, state, dts, length=n_steps)
     return state

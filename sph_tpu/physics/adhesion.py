@@ -27,12 +27,13 @@ def _axis_angle_delta(axis, angle, q):
     return quat.mul(rq, q) - q
 
 
-def bond_deltas(state: SimState, params: SimParams, genome: GenomeDevice):
+def bond_deltas(state: SimState, params: SimParams, genome: GenomeDevice,
+                dt=None):
     """Per-bond velocity/rotation deltas → per-particle sums [N,3], [N,4]."""
     b = state.bonds
     B = b.capacity
     N = state.capacity
-    dt = params.dt
+    dt = params.dt if dt is None else dt
 
     idx_a = jnp.clip(b.slot_a, 0, N - 1)
     idx_b = jnp.clip(b.slot_b, 0, N - 1)
@@ -125,11 +126,11 @@ def bond_deltas(state: SimState, params: SimParams, genome: GenomeDevice):
 
 
 def apply_adhesion(
-    state: SimState, params: SimParams, genome: GenomeDevice
+    state: SimState, params: SimParams, genome: GenomeDevice, dt=None
 ) -> SimState:
     """K10 + K11: compute per-bond deltas and apply them
     (compute:586-607)."""
-    dv, dq = bond_deltas(state, params, genome)
+    dv, dq = bond_deltas(state, params, genome, dt=dt)
     alive = (jnp.arange(state.capacity) < state.active_count)[:, None]
     vel = jnp.where(alive, state.vel + dv, state.vel)
     rot = jnp.where(alive, quat.normalize(state.rot + dq), state.rot)

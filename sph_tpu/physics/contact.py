@@ -114,11 +114,12 @@ def contact_forces_bruteforce(
     return force, torque
 
 
-def apply_contact(state: SimState, params: SimParams, force, torque) -> SimState:
+def apply_contact(state: SimState, params: SimParams, force, torque,
+                  dt=None) -> SimState:
     """Integrate contact results (compute:302-306) and fill the torque
     accumulator with the partner-scatter-equivalent T·dt (DESIGN.md §2)."""
     alive = (jnp.arange(state.capacity) < state.active_count)[:, None]
-    dt = params.dt
+    dt = params.dt if dt is None else dt
     vel = state.vel + jnp.where(alive, force / state.mass[:, None] * dt, 0.0)
     ang = state.ang_vel + jnp.where(
         alive, torque / state.inertia[:, None] * dt, 0.0

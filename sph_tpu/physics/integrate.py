@@ -9,11 +9,12 @@ from sph_tpu.core import quat
 from sph_tpu.core.types import SimParams, SimState
 
 
-def update_motion(state: SimState, params: SimParams) -> SimState:
+def update_motion(state: SimState, params: SimParams, dt=None) -> SimState:
     """Exponential damping, position integration, spherical boundary with
-    reflection + boundary-friction torque (compute:326-357)."""
+    reflection + boundary-friction torque (compute:326-357). `dt` may be a
+    traced scalar (variable-dt compat, ParticleSystemController.cs:246)."""
     alive = (jnp.arange(state.capacity) < state.active_count)[:, None]
-    dt = params.dt
+    dt = params.dt if dt is None else dt
 
     lin_damp = jnp.exp(-state.drag * params.global_drag_multiplier * dt)
     ang_damp = jnp.exp(-params.torque_damping * dt)
@@ -55,12 +56,12 @@ def update_motion(state: SimState, params: SimParams) -> SimState:
     return state.replace_fields(pos=pos, vel=vel, ang_vel=ang)
 
 
-def update_rotation(state: SimState, params: SimParams) -> SimState:
+def update_rotation(state: SimState, params: SimParams, dt=None) -> SimState:
     """Drain the torque accumulator (already ×dt at accumulation time,
     compute:291), damp ω again, integrate the quaternion by axis-angle, and
     zero the accumulator (compute:379-408)."""
     alive = jnp.arange(state.capacity) < state.active_count
-    dt = params.dt
+    dt = params.dt if dt is None else dt
 
     ang = state.ang_vel + state.torque_accum / state.inertia[:, None]
     ang = ang * jnp.exp(-params.torque_damping * dt)

@@ -122,3 +122,26 @@ def test_pick_ray():
     origin = pos + np.array([0.0, 0.0, -30.0])
     assert sim.pick(origin, (0.0, 0.0, 1.0)) == 0
     assert sim.pick(origin + np.array([100.0, 0, 0]), (0.0, 0.0, 1.0)) == -1
+
+
+def test_variable_dt_compat():
+    """Variable-dt compat mode (ParticleSystemController.cs:246 steps with
+    Time.deltaTime): dt == params.dt reproduces the fixed path exactly, and
+    a non-uniform dt schedule advances division timers by the summed time."""
+    a = Simulation(reference_genome(), small_params(), seed=3)
+    b = Simulation(reference_genome(), small_params(), seed=3)
+    a.step(6)
+    b.step(6, dt=b.params.dt)
+    np.testing.assert_array_equal(np.asarray(a.state.pos), np.asarray(b.state.pos))
+    np.testing.assert_array_equal(np.asarray(a.state.rot), np.asarray(b.state.rot))
+    assert int(a.state.active_count) == int(b.state.active_count)
+
+    # Non-uniform schedule: dts sum past the 5.0 split interval by step 6
+    # (cumulative 5.4), so the queued split applies at step 7; 8 fixed
+    # steps of params.dt=0.5 (4.0) must not divide.
+    c = Simulation(reference_genome(), small_params(), seed=3)
+    c.step(8, dt=[0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.1, 0.1])
+    assert int(c.state.active_count) == 2
+    d = Simulation(reference_genome(), small_params(), seed=3)
+    d.step(8)
+    assert int(d.state.active_count) == 1
