@@ -20,15 +20,16 @@ import jax.numpy as jnp
 
 
 def _bench_dense(n_target: int, steps: int = 30, substeps: int = 15,
-                 rebin_every: int = 3, obstacles=()):
+                 rebin_every: int = 3, obstacles=(), cell_factor: float = 1.2):
     from sph_tpu.sph.dense import make_dense_spec, pack, make_dense_step
     from sph_tpu.sph.scenes import dam_break_3d
 
     state, params = dam_break_3d(n_target=n_target, obstacles=obstacles)
     params = params.replace(
-        cell_factor=1.2, dense_k=8, rebin_every=rebin_every, use_pallas=True
+        cell_factor=cell_factor, dense_k=8, rebin_every=rebin_every,
+        use_pallas=True,
     )
-    spec = make_dense_spec(params, k=8, cell_factor=1.2)
+    spec = make_dense_spec(params, k=8, cell_factor=cell_factor)
     N = state.pos.shape[0]
     d = pack(state, params, spec)
     f = make_dense_step(params, spec, substeps=substeps, donate=True)
@@ -96,6 +97,52 @@ def _bench_2d_dense(n_target: int, steps: int = 60, substeps: int = 30):
     return {"steps_per_sec": round(best, 2), "n_particles": N,
             "particle_steps_per_sec": round(best * N, 0),
             "alive": int(n_alive), "dropped": int(dropped)}
+
+
+def _bench_cells(n: int, steps: int = 60, chunk: int = 30):
+    """Biology/contact regime on the CURRENT backend: a prepopulated cell
+    colony (contact + rotation + adhesion machinery + division bookkeeping,
+    the reference's full frame) stepped via lax.scan chunks. The neighbor
+    engine is the sort+gather grid (ops/grid.py) — gather-bound on TPU
+    (~1 GB/s effective random-gather bandwidth, BASELINE.md), which this rung
+    exists to measure honestly; the dense lane-roll engine is the fluid
+    regime's answer (sph/dense.py)."""
+    from sph_tpu.engine.config import reference_genome, reference_scene_params
+
+    from sph_tpu import Simulation
+
+    # Volume fraction ~10%: R = r·(N/0.1)^(1/3); grid cell = 2·r (covers the
+    # contact range r_i/2 + r_j/2 = r·1), dims sized to the spawn sphere.
+    r = 2.0
+    R = float(r * (n / 0.1) ** (1.0 / 3.0))
+    cell = 2.0 * r
+    dim = int(-(-2.0 * R // cell))
+    params = reference_scene_params(
+        capacity=n, spawn_radius=R, neighbor_mode="grid",
+        grid_dim=dim, grid_cell_size=cell, cell_capacity=16,
+        max_splits_per_step=64, max_bonds=256,
+    )
+    sim = Simulation(
+        reference_genome(), params, auto_grow=False, scan_chunk=chunk
+    )
+    from sph_tpu.core.init import init_particles
+
+    sim.state = init_particles(
+        params, sim.genome_dev, n_modes=len(sim.genome.modes),
+        initial_mode=sim.genome.initial_mode_index, capacity=n,
+        active_count=n,
+    )
+    sim.step(chunk)  # warm + compile
+    jax.block_until_ready(sim.state.pos)
+    best = 0.0
+    for _ in range(max(1, steps // chunk)):
+        t0 = time.perf_counter()
+        sim.step(chunk)
+        jax.block_until_ready(sim.state.pos)
+        best = max(best, chunk / (time.perf_counter() - t0))
+    return {"steps_per_sec": round(best, 2), "n_particles": n,
+            "particle_steps_per_sec": round(best * n, 0),
+            "backend": jax.default_backend()}
 
 
 def _verify_on_chip() -> str:
@@ -179,6 +226,56 @@ def _verify_on_chip() -> str:
     return f"ok ({jax.default_backend()})"
 
 
+def _bench_4m_multichip():
+    """Config[4]: 4M+ single-chip run (VMEM-tiled Pallas kernels; higher
+    cell_factor packs cells fuller, shrinking the slot count into HBM
+    budget) + a RECORDED 8-way spatial-decomposition dryrun of the same
+    scene family on a virtual CPU mesh (halo exchange over ppermute —
+    validates the multi-chip path without multi-chip hardware; stencil/halo
+    width per the reference's 27-cell stencil, SimulateParticles.compute:
+    228-233)."""
+    out = _bench_dense(4_000_000, steps=15, substeps=5, cell_factor=1.4)
+
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, numpy as np\n"
+        "from jax.sharding import Mesh\n"
+        "from sph_tpu.parallel.dist import make_sharded_dense_step, "
+        "shard_dense_state\n"
+        "from sph_tpu.sph.dense import make_dense_spec, pack\n"
+        "from sph_tpu.sph.scenes import dam_break_3d\n"
+        "state, params = dam_break_3d(n_target=65536)\n"
+        "params = params.replace(cell_factor=1.4, dense_k=8, rebin_every=3,"
+        " use_pallas=False)\n"
+        "spec = make_dense_spec(params, k=8, cell_factor=1.4)\n"
+        "mesh = Mesh(np.array(jax.devices()[:8]), ('x',))\n"
+        "f = make_sharded_dense_step(params, spec, mesh, substeps=3)\n"
+        "d = f(shard_dense_state(pack(state, params, spec), mesh))\n"
+        "jax.block_until_ready(d.px)\n"
+        "assert int(d.dropped) == 0, int(d.dropped)\n"
+        "print('8-way dryrun OK', d.px.shape)\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
+        capture_output=True, text=True, timeout=1800,
+    )
+    out["dryrun_8way"] = (
+        "ok" if r.returncode == 0
+        else f"FAIL rc={r.returncode}: {r.stderr[-200:]}"
+    )
+    return out
+
+
 CONFIGS = {
     0: ("2D dam-break 4k (brute-force executable spec)",
         lambda: _bench_2d_bruteforce(4096)),
@@ -190,6 +287,8 @@ CONFIGS = {
         lambda: _bench_dense(
             1_000_000, obstacles=(("cylinder_z", (1.2, 0.15), 0.12),)
         )),
+    4: ("3D dam-break 4M single-chip + 8-way decomposition dryrun",
+        _bench_4m_multichip),
 }
 
 
@@ -203,6 +302,9 @@ def main():
     ap.add_argument("--verify", action="store_true",
                     help="assert Pallas == XLA bit equality on this backend "
                          "and include the result in the JSON line")
+    ap.add_argument("--cells", action="store_true",
+                    help="also bench the biology/contact regime (10k + 100k "
+                         "colonies on the sort+gather grid engine)")
     args = ap.parse_args()
 
     if args.all:
@@ -218,6 +320,16 @@ def main():
         head_name, fn = CONFIGS[args.config]
         head = fn()
         detail = {head_name: head}
+
+    if args.cells:
+        for n in (10_240, 102_400):
+            try:
+                detail[f"cell colony {n//1024}k (contact+adhesion grid)"] = \
+                    _bench_cells(n)
+            except Exception as e:  # noqa: BLE001
+                detail[f"cell colony {n//1024}k (contact+adhesion grid)"] = {
+                    "error": str(e)[:200]
+                }
 
     if args.breakdown:
         from sph_tpu.sph.dense import make_dense_spec, pack
