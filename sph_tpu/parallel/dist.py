@@ -15,6 +15,15 @@ Per step: 3 halo exchanges (positions for density, rho/pressure for forces,
 post-integration state for rebin), each 2 planes × fields — O(N1·L) bytes,
 riding ICI. The reference has no distributed layer at all (SURVEY §2.13-2.16);
 this is the TPU-native analog mandated by the north star.
+
+Multi-slice (DCN): the same shard_map/ppermute program runs unchanged over a
+mesh spanning several TPU slices — XLA routes inter-slice hops over DCN
+automatically. The only framework-level decision is DEVICE ORDER: a 1D slab
+ring crosses slice boundaries once per adjacent slab pair that lives on
+different slices, so `make_multislice_mesh` sorts devices slice-major,
+giving each slice one contiguous run of slabs and exactly one DCN crossing
+per slice seam (the minimum for a 1D decomposition; halo traffic is 2
+planes x 9 fields per seam per exchange, tiny next to DCN bandwidth).
 """
 
 from __future__ import annotations
@@ -205,6 +214,21 @@ def make_sharded_dense_step(params: SPHParams, spec: DenseSpec, mesh: Mesh,
         )
 
     return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
+def make_multislice_mesh(devices=None, axis_name: str = "x") -> Mesh:
+    """1D slab mesh ordered slice-major: within the ppermute halo ring,
+    consecutive slabs stay inside one slice wherever possible, so DCN
+    carries exactly one seam per slice pair and every other hop rides ICI.
+
+    On multi-slice TPU deployments, JAX devices expose `slice_index`; on
+    single-slice or CPU meshes the sort is a stable no-op (device id order).
+    """
+    devices = list(jax.devices() if devices is None else devices)
+    devices.sort(key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id))
+    import numpy as np
+
+    return Mesh(np.array(devices), (axis_name,))
 
 
 def shard_dense_state(d: DenseFluidState, mesh: Mesh) -> DenseFluidState:

@@ -99,9 +99,11 @@ def make_dense_spec(params: SPHParams, k: int = 8,
         wc = [ncells(0), ncells(1), ncells(2)]
         origin = (lo[0] - cell, lo[1] - cell, lo[2] - cell)
     else:
-        # 2D: [Y, Z(=1, padded to 8 sentinel rows), X·K] — keeps planes tiny
-        # (VMEM) and puts the y stencil on the plane axis.
-        axis_map = (1, 2, 0)
+        # 2D: [Z(=1), Y, X·K] — a single plane; the y stencil rides the
+        # row-blocked layout dim 1 and x·K rides lanes. (The earlier
+        # [Y, Z(pad8), X·K] layout spent 7/8 of every plane on sentinel
+        # rows — the row-blocked kernels made this shape viable.)
+        axis_map = (2, 1, 0)
         wc = [ncells(0), ncells(1), 1]
         origin = (lo[0] - cell, lo[1] - cell, 0.0)
 
@@ -280,13 +282,16 @@ def accel_pair_terms(h, neg_m_spiky, visc_mc,
     dy = cy - qy
     dz = cz - qz
     r2 = dx * dx + dy * dy + dz * dz
-    r = jnp.sqrt(jnp.maximum(r2, 1e-18))
-    # relu(h − r) rejects out-of-support and sentinel pairs; r² > ε removes
-    # the self pair.
+    # One rsqrt replaces sqrt + divide (bit-stable between Mosaic and XLA
+    # on this TPU — verified — and ~1 ulp vs 1/sqrt, inside the twin
+    # tolerance). relu(h − r) rejects out-of-support and sentinel pairs;
+    # r² > ε removes the self pair.
+    rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-18))
+    r = r2 * rinv
     not_self = (r2 > 1e-16).astype(jnp.float32)
     hr = jnp.maximum(h - r, 0.0)
     hrm = hr * not_self
-    cp = (neg_m_spiky * hrm) * hr / r * (cpr2 + qpr2)
+    cp = (neg_m_spiky * hrm) * hr * rinv * (cpr2 + qpr2)
     cv = (visc_mc * hrm) * (cirho * qirho)
     tx = cp * dx + cv * (qvx - cvx)
     ty = cp * dy + cv * (qvy - cvy)

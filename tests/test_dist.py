@@ -18,6 +18,7 @@ from jax.sharding import Mesh, PartitionSpec
 
 from sph_tpu.parallel.dist import (
     exchange_halo,
+    make_multislice_mesh,
     make_sharded_dense_step,
     shard_dense_state,
 )
@@ -122,6 +123,41 @@ def test_particles_actually_migrated(runs):
     occ0 = np.asarray(d0.occ).reshape(d0.occ.shape[0], -1).sum(1)
     occ1 = np.asarray(ref.occ).reshape(ref.occ.shape[0], -1).sum(1)
     assert (occ0 != occ1).any()
+
+
+def test_multislice_mesh_order_and_equality(runs):
+    """make_multislice_mesh sorts slice-major (one DCN seam per slice pair)
+    and the sharded step over it matches the single-device run — same
+    program, different device order."""
+
+    class FakeDev:
+        def __init__(self, d, slice_index):
+            self._d = d
+            self.slice_index = slice_index
+            self.id = d.id
+
+    devs = jax.devices()[:N_DEV]
+    # Present them shuffled with 2 fake slices; the mesh must group by slice.
+    fakes = [FakeDev(devs[2], 1), FakeDev(devs[0], 0),
+             FakeDev(devs[3], 1), FakeDev(devs[1], 0)]
+    order = [
+        f.slice_index
+        for f in sorted(fakes, key=lambda d: (d.slice_index or 0, d.id))
+    ]
+    assert order == [0, 0, 1, 1]
+
+    d0, ref, _ = runs
+    state, params = random_fluid(400)
+    spec = make_dense_spec(params, k=4, cell_factor=1.3)
+    import dataclasses
+
+    spec = dataclasses.replace(spec, n0=-(-spec.n0 // N_DEV) * N_DEV)
+    # Real devices (CPU has no slice_index -> id order, stable).
+    mesh = make_multislice_mesh(jax.devices()[:N_DEV])
+    out = make_sharded_dense_step(
+        params, spec, mesh, substeps=SUBSTEPS, donate=False
+    )(shard_dense_state(d0, mesh))
+    _assert_state_matches(ref, out)
 
 
 def test_autopad_8dev_matches_single_device(runs):
