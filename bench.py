@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 
 def _bench_dense(n_target: int, steps: int = 30, substeps: int = 15,
-                 rebin_every: int = 3, obstacles=(), cell_factor: float = 1.2):
+                 rebin_every: int = 6, obstacles=(), cell_factor: float = 1.25):
     from sph_tpu.sph.dense import make_dense_spec, pack, make_dense_step
     from sph_tpu.sph.scenes import dam_break_3d
 
@@ -234,7 +234,7 @@ def _bench_4m_multichip():
     validates the multi-chip path without multi-chip hardware; stencil/halo
     width per the reference's 27-cell stencil, SimulateParticles.compute:
     228-233)."""
-    out = _bench_dense(4_000_000, steps=15, substeps=5, cell_factor=1.4)
+    out = _bench_dense(4_000_000, steps=15, substeps=5, cell_factor=1.35)
 
     import os
     import subprocess
@@ -248,9 +248,9 @@ def _bench_4m_multichip():
         "from sph_tpu.sph.dense import make_dense_spec, pack\n"
         "from sph_tpu.sph.scenes import dam_break_3d\n"
         "state, params = dam_break_3d(n_target=65536)\n"
-        "params = params.replace(cell_factor=1.4, dense_k=8, rebin_every=3,"
+        "params = params.replace(cell_factor=1.35, dense_k=8, rebin_every=3,"
         " use_pallas=False)\n"
-        "spec = make_dense_spec(params, k=8, cell_factor=1.4)\n"
+        "spec = make_dense_spec(params, k=8, cell_factor=1.35)\n"
         "mesh = Mesh(np.array(jax.devices()[:8]), ('x',))\n"
         "f = make_sharded_dense_step(params, spec, mesh, substeps=3)\n"
         "d = f(shard_dense_state(pack(state, params, spec), mesh))\n"

@@ -8,21 +8,25 @@ tight tolerance in tests/test_dense.py and on-chip by bench.py --verify).
 
 Structure (see sph.dense's sweep docs for the full derivation):
 
-- TRANSPOSED TILES [rows, K(slots, sublanes), X(cells, lanes)]: measured on
-  this VPU, lane rolls cost ~28 fma-equivalents per element while sublane
-  rolls are free. The slot-offset sweep (m) rides sublanes; only the cell
-  offset dx ∈ {−1,0,+1} needs lane rolls — one per field per group instead
-  of one per pair iteration (~15× fewer lane-roll bytes than the canonical
-  lane-major sweep).
+- FUSED TILES [K(slots, sublanes), C-block(lanes)]: the minor axis fuses
+  (row, cell) so every vector op runs at the full 128-lane width even when
+  the world row is short (the earlier [rows, K, X] tiles at X≈64 wasted
+  half the lanes). The stencil offset (dy, dx) becomes one fused-axis
+  offset dy·X + dx, realized as a STATIC SLICE of a row-padded tile — no
+  lane rolls for pair alignment at all. The slot-offset sweep (m) rides
+  sublanes (free).
 - NEWTON PAIR SYMMETRY: groups A/B/C/D sweep half the (dz, dy, dx, m)
   variant space; each iteration also emits the mirror (partner-side)
   contribution. Mirror lumps ride the fori carry slot-rolled (free
-  alignment); in-plane mirrors (A, B) fold straight into the accumulator,
-  row/plane-crossing mirrors (C, D) go to separate outputs folded by
+  alignment) and are lane-derolled by dx once per group — wrap-safe
+  because sub-chunk edges are row boundaries (sentinel margin columns).
+  In-row mirrors (A, B) fold straight into the accumulator; row/plane-
+  crossing mirrors (C, D) go to separate outputs folded by
   sph.dense.combine_mirror_parts.
-- ROW-BLOCKED GRID (N0 planes × N1/RB row blocks) with one-tile neighbor
-  halo fetches: bounds VMEM at any problem size. RB picked per shape.
-- TILE SKIP: per 8-row tile occupancy (SMEM) gates all work with pl.when.
+- BLOCKED GRID (N0 planes × C/CB fused blocks) with full neighbor-block
+  fetches for the ±(X+1) halo: bounds VMEM at any problem size. CB picked
+  per shape (multiple of the sub-chunk SC = lcm(X, 128)).
+- TILE SKIP: per sub-chunk occupancy (SMEM) gates all work with pl.when.
   Skipped tiles differ from the XLA twin only at sentinel lanes (garbage →
   rest-density fixup / exact ±0 accel), never at real particles.
 """
@@ -30,6 +34,7 @@ Structure (see sph.dense's sweep docs for the full derivation):
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -43,12 +48,9 @@ from sph_tpu.sph.dense import (
     density_pair_term,
     density_self_term,
     dys_c,
-    from_transposed,
     sweep_groups,
-    to_transposed,
 )
 
-TB = 8  # sublane tile rows
 _VMEM_BUDGET = 10 * 2 ** 20
 
 
@@ -57,63 +59,83 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def tile_occupancy(occ: jnp.ndarray) -> jnp.ndarray:
-    """[N0, N1, L] occupancy → [N0, 1, N1/TB] i32 tile flags.
+def sub_chunk(spec) -> int:
+    """Sub-chunk lane count: the unit of tile-skip and in-kernel iteration.
+    A multiple of the row length X (so chunk edges are sentinel margin
+    columns — mirror-lump rolls wrap safely) and of 128 (full vregs),
+    widened to ≥512 lanes (4 vregs) so the fori-loop body amortizes its
+    per-iteration overhead — 1-vreg bodies measured ~1.8× slower."""
+    X = spec.X
+    base = X * 128 // math.gcd(X, 128)
+    nsub = spec.C // base
+    m = max(1, 1024 // base)
+    while nsub % m:
+        m -= 1
+    return base * m
 
-    A tile is computed iff its own rows hold fluid: own-side contributions
+
+def tile_occupancy(occ: jnp.ndarray, spec) -> jnp.ndarray:
+    """[N0, K, C] occupancy → [N0, 1, C/SC] i32 sub-chunk flags.
+
+    A chunk is computed iff its own cells hold fluid: own-side contributions
     and mirror emissions both require a real own-side particle."""
-    N0, N1, L = occ.shape
-    t = occ.reshape(N0, N1 // TB, TB * L).max(axis=-1)
+    N0, K, C = occ.shape
+    sc = sub_chunk(spec)
+    t = occ.reshape(N0, K, C // sc, sc).max(axis=(1, 3))
     return (t > 0.5).astype(jnp.int32)[:, None, :]
 
 
-def _pick_rb(N1: int, L: int, nf: int, nz: int, n_out: int) -> int:
-    """Largest row-block size whose working set fits the VMEM budget."""
-    nb = N1 // TB
-    best = TB
-    for nbb in range(1, nb + 1):
-        if nb % nbb:
+def _pick_cb(C: int, sc: int, K: int, X: int, nf: int, nz: int,
+             n_out: int) -> int:
+    """Largest fused-block size whose working set fits the VMEM budget."""
+    nsub = C // sc
+    best = sc
+    for j in range(1, nsub + 1):
+        if nsub % j:
             continue
-        rb = nbb * TB
+        cb = j * sc
         est = (
-            (nf * nz * (rb + 2 * TB) + n_out * rb) * 2   # blocks, dbl-buffered
-            + nf * nz * (rb + 2)                          # pads
-            + (nf + 7) * TB                               # fori carry tiles
-        ) * L * 4
-        if est <= _VMEM_BUDGET and rb > best:
-            best = rb
+            (nf * nz * 3 * cb + n_out * cb) * 2      # blocks, dbl-buffered
+            + nf * nz * (cb + 2 * (X + 1))           # pads
+            + (nf + n_out + 4) * sc                  # fori carry tiles
+        ) * K * 4
+        if est <= _VMEM_BUDGET and cb > best:
+            best = cb
     return best
 
 
 def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
-                   dysc: tuple, nbb: int, pair_fn, self_init, sign: int):
-    """Newton-symmetric transposed pair sweep over one (plane, row-block).
+                   dysc: tuple, X: int, sc: int, nchunk: int, pair_fn,
+                   self_init, sign: int):
+    """Newton-symmetric fused pair sweep over one (plane, C-block).
 
-    refs: occ_tile (SMEM, full tile-flag row), then per field × zi:
-    (main, prev-halo, next-halo) blocks [1, rows, K, X], then outputs:
-    ncomp own accumulators, ncomp m_row parts (if any 'row' group), ncomp
-    m_c parts per dy (if any plane group)."""
+    refs: occ_t (SMEM, full chunk-flag row), then per field × zi:
+    (main, prev, next) blocks [1, K, CB], then outputs: ncomp own
+    accumulators, ncomp m_row parts (if any 'row' group), ncomp m_c parts
+    per dy (if any plane group)."""
     occ_t = refs[0]
     fr = refs[1:1 + nf * nz * 3]
     outs = refs[1 + nf * nz * 3:]
-    yb0 = pl.program_id(1) * nbb  # first tile index of this row block
+    cb0 = pl.program_id(1) * nchunk  # first chunk index of this block
+    pad = X + 1
 
     for o in outs:
         o[0] = jnp.zeros_like(o[0])
 
-    # Row pads per (field, zi): [RB+2, K, X], halo rows from neighbor blocks.
+    # Row pads per (field, zi): [K, CB + 2(X+1)], halo from the neighbor
+    # blocks (clamped fetches at the global edges are inert: the pad region
+    # is only ever consumed by sentinel margin rows/columns).
     pads = []
     for f in range(nf):
         row = []
         for zi in range(nz):
             b = (f * nz + zi) * 3
             main, prev, nxt = fr[b], fr[b + 1], fr[b + 2]
-            row.append(
-                jnp.concatenate([prev[0][-1:], main[0], nxt[0][:1]], axis=0)
-            )
+            row.append(jnp.concatenate(
+                [prev[0][:, -pad:], main[0], nxt[0][:, :pad]], axis=1,
+            ))
         pads.append(row)
 
-    X = pads[0][0].shape[2]
     dy_out = {}
     oi = ncomp
     if any(g[5] == "row" for g in groups):
@@ -124,20 +146,20 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
         oi += ncomp
 
     def slot_roll(t, s):
-        return jnp.roll(t, -s, axis=1) if s % k else t
+        return jnp.roll(t, -s, axis=0) if s % k else t
 
     def lane_roll(t, s):
-        return jnp.roll(t, -s, axis=2) if s else t
+        return jnp.roll(t, -s, axis=1) if s else t
 
-    for yt in range(nbb):
-        @pl.when(occ_t[0, 0, yb0 + yt] > 0)
-        def _(yt=yt):
-            r0 = yt * TB
-            cs = [pads[f][0][r0 + 1:r0 + 1 + TB] for f in range(nf)]
+    for ct in range(nchunk):
+        @pl.when(occ_t[0, 0, cb0 + ct] > 0)
+        def _(ct=ct):
+            c0 = ct * sc
+            cs = [pads[f][0][:, pad + c0:pad + c0 + sc] for f in range(nf)]
             accs = [
-                jnp.full((TB, k, X), self_init, jnp.float32)
+                jnp.full((k, sc), self_init, jnp.float32)
                 if (c == 0 and self_init is not None)
-                else jnp.zeros((TB, k, X), jnp.float32)
+                else jnp.zeros((k, sc), jnp.float32)
                 for c in range(ncomp)
             ]
 
@@ -150,14 +172,10 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
                 n_mirror = len(mirror_ms)
                 assert set(ms[:n_mirror]) == mirror_ms
                 for dx in dxs:
-                    base = [
-                        lane_roll(
-                            pads[f][dz][r0 + 1 + dy:r0 + 1 + dy + TB], dx
-                        )
-                        for f in range(nf)
-                    ]
+                    o = pad + c0 + dy * X + dx
+                    base = [pads[f][dz][:, o:o + sc] for f in range(nf)]
                     qs = [slot_roll(b, m0) for b in base]
-                    lumps = [jnp.zeros((TB, k, X), jnp.float32)] * ncomp
+                    lumps = [jnp.zeros((k, sc), jnp.float32)] * ncomp
 
                     def body(i, carry, n_mirror=n_mirror):
                         qs = list(carry[:nf])
@@ -175,7 +193,8 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
                         0, n_m, body, (*qs, *lumps, *accs)
                     )
                     accs = list(out[nf + ncomp:])
-                    # Slot deroll (frame offset m0+n_m), then lane deroll.
+                    # Slot deroll (frame offset m0+n_m), then lane deroll
+                    # by dx (row/plane offsets fold globally).
                     lumps = [
                         lane_roll(slot_roll(m, -(m0 + n_m)), -dx)
                         for m in out[nf:nf + ncomp]
@@ -188,101 +207,75 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
                     else:
                         base_o = dy_out[dest]
                         for c in range(ncomp):
-                            outs[base_o + c][0, r0:r0 + TB] = (
-                                outs[base_o + c][0, r0:r0 + TB] + lumps[c]
+                            outs[base_o + c][0, :, c0:c0 + sc] = (
+                                outs[base_o + c][0, :, c0:c0 + sc] + lumps[c]
                             )
             for c in range(ncomp):
-                outs[c][0, r0:r0 + TB] = accs[c]
-
-
-def _field_specs(nf: int, nz: int, N0: int, N1: int, K: int, X: int, RB: int):
-    """Per (field, zi): main block + prev/next row-halo tiles. dz offsets
-    clamp at the top plane and yb offsets clamp at the global row edges —
-    both inert, since the clamped rows/planes only ever pair with the
-    sentinel margin (see module docstring)."""
-    nbb = RB // TB
-    nb_tot = N1 // TB
-    specs = []
-    for _f in range(nf):
-        for dz in range(nz):
-            specs.append(pl.BlockSpec(
-                (1, RB, K, X),
-                functools.partial(
-                    lambda z, yb, dz=0:
-                    (jnp.clip(z + dz, 0, N0 - 1), yb, 0, 0),
-                    dz=dz,
-                ),
-                memory_space=pltpu.VMEM,
-            ))
-            specs.append(pl.BlockSpec(
-                (1, TB, K, X),
-                functools.partial(
-                    lambda z, yb, dz=0: (
-                        jnp.clip(z + dz, 0, N0 - 1),
-                        jnp.clip(yb * nbb - 1, 0, nb_tot - 1), 0, 0,
-                    ),
-                    dz=dz,
-                ),
-                memory_space=pltpu.VMEM,
-            ))
-            specs.append(pl.BlockSpec(
-                (1, TB, K, X),
-                functools.partial(
-                    lambda z, yb, dz=0: (
-                        jnp.clip(z + dz, 0, N0 - 1),
-                        jnp.clip((yb + 1) * nbb, 0, nb_tot - 1), 0, 0,
-                    ),
-                    dz=dz,
-                ),
-                memory_space=pltpu.VMEM,
-            ))
-    return specs
+                outs[c][0, :, c0:c0 + sc] = accs[c]
 
 
 def _newton_call(fields, occ, spec, pair_fn, ncomp, self_init, sign,
                  flops_per_lane, transc_per_lane):
-    """Shared pallas_call builder for the density / accel sweeps. Takes
-    canonical [N0, N1, L] fields, returns transposed (own, m_row, m_cs)
-    part arrays (combine + back-transpose left to the caller)."""
-    N0, N1, L = fields[0].shape
-    K = spec.k
-    X = L // K
+    """Shared pallas_call builder for the density / accel sweeps over fused
+    [N0, K, C] fields. Returns (own, m_row, m_cs) part arrays (combine left
+    to the caller)."""
+    N0, K, C = fields[0].shape
+    X = spec.X
     nf = len(fields)
     nz = 2 if spec.stencil0 else 1
     groups = sweep_groups(spec)
     has_row = any(g[5] == "row" for g in groups)
     dysc = dys_c(spec) if spec.stencil0 else ()
     n_out = ncomp * (1 + (1 if has_row else 0) + len(dysc))
-    RB = _pick_rb(N1, L, nf, nz, n_out)
-    nbb = RB // TB
+    sc = sub_chunk(spec)
+    CB = _pick_cb(C, sc, K, X, nf, nz, n_out)
+    nchunk = CB // sc
+    nblocks = C // CB
 
-    occ_t = tile_occupancy(occ)
-    fields_t = [to_transposed(f, K) for f in fields]
+    occ_t = tile_occupancy(occ, spec)
     kernel = functools.partial(
         _newton_kernel, nf=nf, ncomp=ncomp, k=K, nz=nz, groups=groups,
-        dysc=dysc, nbb=nbb, pair_fn=pair_fn, self_init=self_init, sign=sign,
+        dysc=dysc, X=X, sc=sc, nchunk=nchunk, pair_fn=pair_fn,
+        self_init=self_init, sign=sign,
     )
     # SMEM blocks keep trailing dims equal to the array's (Pallas TPU block
-    # divisibility rule): whole tile-flag row, indexed by yb·nbb + yt.
+    # divisibility rule): whole chunk-flag row, indexed by cb·nchunk + ct.
     occ_spec = pl.BlockSpec(
-        (1, 1, N1 // TB), lambda z, yb: (z, 0, 0), memory_space=pltpu.SMEM
+        (1, 1, C // sc), lambda z, cb: (z, 0, 0), memory_space=pltpu.SMEM
     )
-    out_spec = pl.BlockSpec(
-        (1, RB, K, X), lambda z, yb: (z, yb, 0, 0), memory_space=pltpu.VMEM
+    blk = pl.BlockSpec(
+        (1, K, CB), lambda z, cb: (z, 0, cb), memory_space=pltpu.VMEM
     )
+    field_specs = [
+        pl.BlockSpec(
+            (1, K, CB),
+            functools.partial(
+                lambda z, cb, dz=0, db=0: (
+                    jnp.clip(z + dz, 0, N0 - 1),
+                    0,
+                    jnp.clip(cb + db, 0, nblocks - 1),
+                ),
+                dz=dz, db=db,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for _f in range(nf)
+        for dz in range(nz)
+        for db in (0, -1, 1)
+    ]
     args = [occ_t]
-    for f in fields_t:
+    for f in fields:
         args.extend([f] * (3 * nz))
     outs = pl.pallas_call(
         kernel,
-        grid=(N0, N1 // RB),
-        in_specs=[occ_spec] + _field_specs(nf, nz, N0, N1, K, X, RB),
-        out_specs=[out_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((N0, N1, K, X), jnp.float32)] * n_out,
+        grid=(N0, nblocks),
+        in_specs=[occ_spec] + field_specs,
+        out_specs=[blk] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((N0, K, C), jnp.float32)] * n_out,
         cost_estimate=pl.CostEstimate(
-            flops=N0 * N1 * L * flops_per_lane,
-            bytes_accessed=N0 * N1 * L * 4 * (3 * nf * nz + n_out),
-            transcendentals=N0 * N1 * L * transc_per_lane,
+            flops=N0 * K * C * flops_per_lane,
+            bytes_accessed=N0 * K * C * 4 * (3 * nf * nz + n_out),
+            transcendentals=N0 * K * C * transc_per_lane,
         ),
         interpret=_interpret(),
     )(*args)
@@ -313,10 +306,10 @@ def density_pallas(px, py, pz, occ, params, spec) -> jnp.ndarray:
         ncomp=1, self_init=density_self_term(params), sign=1,
         flops_per_lane=16 * _n_swept(spec), transc_per_lane=0,
     )
-    acc = from_transposed(combine_mirror_parts(
+    acc = combine_mirror_parts(
         own[0], m_row[0] if m_row else None,
         [m[0] for m in m_cs], spec, sign=1,
-    ))
+    )
     return params.particle_mass * KN.poly6_coeff(params.h, params.ndim) * acc
 
 
@@ -338,9 +331,9 @@ def accel_pallas(d, pr2, params, spec):
         transc_per_lane=2 * _n_swept(spec),
     )
     return tuple(
-        from_transposed(combine_mirror_parts(
+        combine_mirror_parts(
             own[c], m_row[c] if m_row else None,
             [ms[c] for ms in m_cs], spec, sign=-1,
-        ))
+        )
         for c in range(3)
     )

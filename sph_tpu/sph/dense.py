@@ -7,18 +7,25 @@ hopeless. This engine keeps particles in a dense cell-major layout and
 enumerates neighbor pairs with LANE ROLLS — zero gathers, zero scatters, zero
 sorts in the hot loop:
 
-- Layout: per-component arrays of shape [Z, Y, X·K] (f32): cell (z, y, x)
-  owns lanes [x·K, (x+1)·K). The minor dim X·K is a multiple of 128 (VPU lane
-  width). One margin cell rings the domain in every axis.
+- Layout: per-component arrays of shape [Z, K(slots), C] (f32) where
+  C = Y·X is the FUSED (row, cell) index: cell (z, y, x) owns column
+  c = y·X + x, its K slots ride sublanes. C is always a multiple of 128
+  (n1 is a multiple of 8, n2 of 16), so every VPU op runs at full lane
+  width regardless of how thin the world's x-row is — the reason for
+  fusing: an unfused [.., K, X] tile at X≈64 wastes half the lanes. One
+  margin cell rings the domain in every axis, which makes the fused-axis
+  wraparound between consecutive rows inert (the wrapped-in cells are
+  sentinel margins).
 - Empty lanes hold a SENTINEL position (1e9) so every pair test
   (relu(h² − r²) etc.) rejects them arithmetically — no occupancy masks in
   the pair loop.
-- Pair enumeration runs on the TRANSPOSED [Z, Y, K(slots), X(cells)] view:
-  (dz, dy) roll the z/y axes, dx ∈ {−1,0,1} rolls the cell (lane) axis, and
-  the slot offset m ∈ [0, K) rolls SUBLANES (free on the VPU; lane rolls
-  cost ~28 fma-equivalents/element — measured). The sweep is Newton-halved:
-  each swept variant also emits the partner-side contribution (see the
-  sweep-group comment below). Rolls wrap into the margin ring, which is
+- Pair enumeration: the stencil offset (dy, dx) becomes ONE fused-axis
+  shift dy·X + dx; dz shifts planes; the slot offset m ∈ [0, K) rolls
+  SUBLANES (free on the VPU; lane rolls cost ~28 fma-equivalents/element —
+  measured). In the Pallas kernels the fused-axis shifts are static slices
+  of a padded tile (no rolls at all). The sweep is Newton-halved: each
+  swept variant also emits the partner-side contribution (see the
+  sweep-group comment below). Shifts wrap into the margin ring, which is
   sentinel, so wraps are inert. cell_size ≥ h is required so ±1-cell
   stencils cover the kernel support.
 - Rebinning: particles move ≤ 1 cell per rebin (the `rebin_vmax` clamp
@@ -49,16 +56,17 @@ SENTINEL = 1.0e9
 class DenseSpec:
     """Static dense-grid geometry.
 
-    Layout dims are (n0, n1, n2·k): `axis_map` names the WORLD axis stored in
-    each layout dim. 3D uses (x, y, z·K) so the fluid's sparse footprint (its
-    x–y projection) lands on the grid axes the Pallas kernels can skip; 2D
-    uses (z=1, y, x·K).
+    Storage is [n0, k, n1·n2]: `axis_map` names the WORLD axis stored in
+    each layout dim (dim 0 = planes, dim 1 = rows inside the fused axis,
+    dim 2 = cells inside a row). 3D uses (x, y, z) so the fluid's sparse
+    footprint (its x–y projection) lands on the axes the Pallas kernels can
+    skip; 2D uses (z=1, y, x).
     """
 
     n0: int            # layout dim 0 cells (incl. margins)
     n1: int            # layout dim 1 cells
-    n2: int            # layout lane-cells (× k lanes each)
-    k: int             # lanes per cell
+    n2: int            # layout dim 2 cells (row length X)
+    k: int             # slots per cell
     cell: float        # cell edge ≥ h
     origin: tuple[float, float, float]  # WORLD corner of cell (0,0,0)
     ndim: int
@@ -67,6 +75,16 @@ class DenseSpec:
     # the mapped world axis has a single real cell, e.g. z in 2D).
     stencil0: bool = True
     stencil1: bool = True
+
+    @property
+    def X(self) -> int:
+        """Row length: fused-axis stride of one layout-dim-1 step."""
+        return self.n2
+
+    @property
+    def C(self) -> int:
+        """Fused minor-axis length (always a multiple of 128)."""
+        return self.n1 * self.n2
 
     @property
     def lanes(self) -> int:
@@ -108,12 +126,12 @@ def make_dense_spec(params: SPHParams, k: int = 8,
         origin = (lo[0] - cell, lo[1] - cell, 0.0)
 
     n0 = wc[axis_map[0]]
-    # Sublane multiple; larger dims round to 32 so the Pallas kernels can
-    # pick row-block sizes between 8 and N1 (VMEM tiling at 1M/4M scale).
+    # n1 a multiple of 8 and n2 of 16 ⇒ the fused minor axis C = n1·n2 is
+    # always a multiple of 128 (full VPU lane width).
     w1 = wc[axis_map[1]]
     n1 = -(-w1 // 8) * 8 if w1 <= 8 else -(-w1 // 32) * 32
     lane_mult = max(1, 128 // k)
-    n2 = -(-wc[axis_map[2]] // lane_mult) * lane_mult  # lane multiple
+    n2 = -(-wc[axis_map[2]] // lane_mult) * lane_mult
     return DenseSpec(
         n0=n0, n1=n1, n2=n2, k=k, cell=cell, origin=origin,
         ndim=params.ndim, axis_map=axis_map,
@@ -123,7 +141,7 @@ def make_dense_spec(params: SPHParams, k: int = 8,
 
 @pytree_dataclass
 class DenseFluidState:
-    """SoA component arrays, each [Z, Y, X·K] f32."""
+    """SoA component arrays, each [Z, K, C=Y·X] f32."""
 
     px: jnp.ndarray
     py: jnp.ndarray
@@ -150,7 +168,7 @@ def pack(state: SPHState, params: SPHParams, spec: DenseSpec) -> DenseFluidState
     i0 = cc[:, spec.axis_map[0]]
     i1 = cc[:, spec.axis_map[1]]
     i2 = cc[:, spec.axis_map[2]]
-    shape = (spec.n0, spec.n1, spec.lanes)
+    shape = (spec.n0, spec.k, spec.C)
     px = np.full(shape, SENTINEL, np.float32)
     py = np.full(shape, SENTINEL, np.float32)
     pz = np.full(shape, SENTINEL, np.float32)
@@ -159,7 +177,7 @@ def pack(state: SPHState, params: SPHParams, spec: DenseSpec) -> DenseFluidState
     vz = np.zeros(shape, np.float32)
     occ = np.zeros(shape, np.float32)
 
-    # Vectorized fill: sort by cell id, rank within cell, slot = cid·K + rank.
+    # Vectorized fill: sort by cell id, rank within cell → sublane slot.
     cid = (i0 * spec.n1 + i1) * spec.n2 + i2
     order = np.argsort(cid, kind="stable")
     cid_s = cid[order]
@@ -170,12 +188,12 @@ def pack(state: SPHState, params: SPHParams, spec: DenseSpec) -> DenseFluidState
             f"pack overflow: {(rank >= spec.k).sum()} particles exceeded "
             f"k={spec.k}; raise dense_k or cell_factor"
         )
-    z, y = i0[order], i1[order]
-    lane = i2[order] * spec.k + rank
+    z = i0[order]
+    c = i1[order] * spec.n2 + i2[order]
     ps, vs = pos[order], vel[order]
-    px[z, y, lane], py[z, y, lane], pz[z, y, lane] = ps[:, 0], ps[:, 1], ps[:, 2]
-    vx[z, y, lane], vy[z, y, lane], vz[z, y, lane] = vs[:, 0], vs[:, 1], vs[:, 2]
-    occ[z, y, lane] = 1.0
+    px[z, rank, c], py[z, rank, c], pz[z, rank, c] = ps[:, 0], ps[:, 1], ps[:, 2]
+    vx[z, rank, c], vy[z, rank, c], vz[z, rank, c] = vs[:, 0], vs[:, 1], vs[:, 2]
+    occ[z, rank, c] = 1.0
     J = jnp.asarray
     return DenseFluidState(
         px=J(px), py=J(py), pz=J(pz), vx=J(vx), vy=J(vy), vz=J(vz),
@@ -196,63 +214,38 @@ def unpack(dstate: DenseFluidState):
     return pos, vel, flat(dstate.rho), flat(dstate.prs), mask
 
 
-def _roll(f: jnp.ndarray, dz: int, dy: int, D: int) -> jnp.ndarray:
-    """Align the (dz, dy, D) stencil neighbor with each own lane."""
-    shifts, axes = [], []
-    if dz:
-        shifts.append(-dz)
-        axes.append(0)
-    if dy:
-        shifts.append(-dy)
-        axes.append(1)
-    if D:
-        shifts.append(-D)
-        axes.append(2)
-    if not shifts:
-        return f
-    return jnp.roll(f, shifts, axes)
-
-
 # ---------------------------------------------------------------------------
-# Newton-symmetric pair sweep on the TRANSPOSED [Z, Y, K(slots), X(cells)]
-# view (shared algebra for the XLA twin and the Pallas kernels in
+# Newton-symmetric pair sweep on the FUSED [Z, K(slots), C=Y·X] layout
+# (shared algebra for the XLA twin and the Pallas kernels in
 # ops/pallas/fluid.py — both MUST stay bit-identical).
 #
 # Measured on the v5e VPU: lane rolls cost ~28 fma-equivalents per element,
-# sublane rolls are free. The canonical lane dim X·K mixes cells and slots,
-# so pair enumeration there needs 4K−1 LANE rolls per stencil cell. In the
-# transposed view, slots live on SUBLANES: the pair space factorizes into
-# (dz planes, dy rows, dx cells, m slot-offset) where the m sweep is a free
-# sublane roll and only dx ∈ {−1,0,+1} costs a lane roll (one per group).
+# sublane rolls are free. Slots live on SUBLANES: the pair space factorizes
+# into (dz planes, dy·X+dx fused-axis shift, m slot-offset) where the m
+# sweep is a free sublane roll; the fused-axis shift is ONE whole-array
+# roll here (a static pad slice in the Pallas kernels). Fusing rows into
+# the lane axis keeps every vector op at full 128-lane width even when the
+# world row is short (the dominant win vs the earlier [.., K, X] view).
 #
 # Newton halving (mirror of (dz,dy,dx,m) is (−dz,−dy,−dx,(K−m)%K)):
 #   group A: (0,0,0), m ∈ [1, K/2]   — m=K/2 is its own mirror (own-only);
 #            the m=0 self pair is peeled (density adds a constant).
 #   group B: (0,0,+1), m ∈ [0,K)     — mirrors cover dx=−1; mirror targets
-#            stay in-plane/in-row, so they fold into the accumulator.
+#            stay in-row, so they fold into the accumulator.
 #   group C: (0,+1,dx∈{−1,0,+1})     — mirrors cover dy=−1 → m_row part.
 #   group D: (+1,dy∈dysC,dx)         — mirrors cover dz=−1 → m_c[dy] parts.
-# Mirror slot/lane alignment happens in-kernel (sublane deroll free, one
-# lane deroll per group); row/plane alignment happens in
-# `combine_mirror_parts` (one whole-array roll per part). Mirror sign:
-# density +1 (symmetric), accel −1 (Newton's third law).
+# Mirror slot/in-row alignment happens in-kernel (sublane deroll free, one
+# lane deroll by dx per group — wrap-safe because sub-chunk edges are row
+# boundaries, i.e. sentinel margin columns); row/plane alignment happens in
+# `combine_mirror_parts` (one whole-array roll per part: +X on the fused
+# axis for rows, +1 on dim 0 for planes). Mirror sign: density +1
+# (symmetric), accel −1 (Newton's third law).
 # ---------------------------------------------------------------------------
 
 
 def dys_c(spec: DenseSpec) -> tuple:
     """Group-D dy offsets (±1 only when layout dim 1 has a stencil)."""
     return (-1, 0, 1) if spec.stencil1 else (0,)
-
-
-def to_transposed(a: jnp.ndarray, k: int) -> jnp.ndarray:
-    """[N0, N1, X·K] canonical → [N0, N1, K, X] slot-major view."""
-    n0, n1, lanes = a.shape
-    return a.reshape(n0, n1, lanes // k, k).transpose(0, 1, 3, 2)
-
-
-def from_transposed(a: jnp.ndarray) -> jnp.ndarray:
-    n0, n1, k, x = a.shape
-    return a.transpose(0, 1, 3, 2).reshape(n0, n1, k * x)
 
 
 def density_self_term(params: SPHParams) -> float:
@@ -300,23 +293,28 @@ def accel_pair_terms(h, neg_m_spiky, visc_mc,
 
 
 def combine_mirror_parts(own, m_row, m_cs, spec: DenseSpec, sign: int):
-    """Fold the mirror part arrays into the own-side accumulator (all in the
-    transposed [Z, Y, K, X] view).
+    """Fold the mirror part arrays into the own-side accumulator (fused
+    [Z, K, C] layout).
 
-    m_row holds group-C mirrors at OWN rows (destination = row+1, same
-    plane); m_cs[i] holds group-D mirrors for dy = dys_c(spec)[i] at OWN
-    rows/planes (destination = plane+1, row+dy). Shared by the XLA twin and
+    m_row holds group-C mirrors at OWN positions (destination = row+1, same
+    plane → roll +X on the fused axis); m_cs[i] holds group-D mirrors for
+    dy = dys_c(spec)[i] (destination = plane+1, row+dy → roll +1 on dim 0
+    and +dy·X on the fused axis). Fused-axis wraps land on sentinel margin
+    rows, whose mirror contributions are zero. Shared by the XLA twin and
     the Pallas wrappers so the final per-element addition order is identical
     in both by construction."""
     out = own
+    X = spec.X
+
     def fold(acc, part):
         return acc + part if sign > 0 else acc - part
+
     if spec.stencil1:
-        out = fold(out, jnp.roll(m_row, 1, axis=1))
+        out = fold(out, jnp.roll(m_row, X, axis=2))
     if spec.stencil0:
         for dy, m in zip(dys_c(spec), m_cs):
-            shifts = (1, dy) if dy else (1,)
-            axes = (0, 1) if dy else (0,)
+            shifts = (1, dy * X) if dy else (1,)
+            axes = (0, 2) if dy else (0,)
             out = fold(out, jnp.roll(m, shifts, axes))
     return out
 
@@ -340,13 +338,14 @@ def sweep_groups(spec: DenseSpec):
     return groups
 
 
-def _sweep_xla(fields_t, pair_fn, ncomp, self_init, spec: DenseSpec,
+def _sweep_xla(fields, pair_fn, ncomp, self_init, spec: DenseSpec,
                sign: int):
-    """XLA twin of the Newton-symmetric transposed sweep. Whole-array rolls;
-    per (group, dx) one mirror lump accumulated in slot order then
-    slot+lane-derolled — matching the accumulation order of
-    ops/pallas/fluid.py exactly."""
-    shape = fields_t[0].shape
+    """XLA twin of the Newton-symmetric fused sweep. Whole-array rolls
+    ([Z, K, C]: plane, slot, fused dy·X+dx); per (group, dx) one mirror
+    lump accumulated in slot order then slot+lane-derolled — matching the
+    accumulation order of ops/pallas/fluid.py exactly."""
+    shape = fields[0].shape
+    X = spec.X
     zeros = jnp.zeros(shape, jnp.float32)
     accs = [
         jnp.full(shape, self_init, jnp.float32)
@@ -360,17 +359,18 @@ def _sweep_xla(fields_t, pair_fn, ncomp, self_init, spec: DenseSpec,
 
     for dz, dy, dxs, ms, mirror_ms, dest in sweep_groups(spec):
         for dx in dxs:
+            o = dy * X + dx
             lumps = [zeros] * ncomp
             for m in ms:
                 qs = [
-                    jnp.roll(f, (-dz, -dy, -m, -dx), (0, 1, 2, 3))
-                    for f in fields_t
+                    jnp.roll(f, (-dz, -m, -o), (0, 1, 2))
+                    for f in fields
                 ]
-                ts = pair_fn(*fields_t, *qs)
+                ts = pair_fn(*fields, *qs)
                 accs = [a + t for a, t in zip(accs, ts)]
                 if m in mirror_ms:
                     lumps = [
-                        lm + jnp.roll(t, (m, dx), (2, 3))
+                        lm + jnp.roll(t, (m, dx), (1, 2))
                         for lm, t in zip(lumps, ts)
                     ]
             if dest == "acc":
@@ -392,14 +392,14 @@ def density_pass(d: DenseFluidState, params: SPHParams,
     and force math NaN-free without masks)."""
     h2 = params.h * params.h
     accs, m_row, m_cs = _sweep_xla(
-        tuple(to_transposed(a, spec.k) for a in (d.px, d.py, d.pz)),
+        (d.px, d.py, d.pz),
         lambda *a: density_pair_term(h2, *a),
         ncomp=1, self_init=density_self_term(params), spec=spec, sign=1,
     )
-    acc = from_transposed(combine_mirror_parts(
+    acc = combine_mirror_parts(
         accs[0], m_row[0] if m_row else None,
         [m[0] for m in m_cs], spec, sign=1,
-    ))
+    )
     rho = params.particle_mass * KN.poly6_coeff(params.h, params.ndim) * acc
     return jnp.where(d.occ > 0.5, jnp.maximum(rho, 1e-6), params.rest_density)
 
@@ -417,18 +417,15 @@ def accel_pass(d: DenseFluidState, params: SPHParams, spec: DenseSpec):
               * KN.viscosity_lap_coeff(params.h, params.ndim)),
         *a,
     )
-    fields = tuple(
-        to_transposed(a, spec.k)
-        for a in (d.px, d.py, d.pz, d.vx, d.vy, d.vz, irho, pr2)
-    )
+    fields = (d.px, d.py, d.pz, d.vx, d.vy, d.vz, irho, pr2)
     accs, m_row, m_cs = _sweep_xla(
         fields, pair, ncomp=3, self_init=None, spec=spec, sign=-1,
     )
     return tuple(
-        from_transposed(combine_mirror_parts(
+        combine_mirror_parts(
             accs[c], m_row[c] if m_row else None,
             [ms[c] for ms in m_cs], spec, sign=-1,
-        ))
+        )
         for c in range(3)
     )
 
@@ -489,18 +486,14 @@ def _compact_stage(fields, occ, own_coord, target_fn, axis_roll,
     """One axis pass of the staged rebin: candidates are the own cell plus
     its two axis-neighbors; a candidate wants this cell when its target
     coordinate along the axis equals the cell's. Compacts the ≤3K wanting
-    candidates into K lanes (deterministic shift-major order).
+    candidates into K slots (deterministic shift-major order).
 
-    fields: [Z, Y, L, F]; axis_roll(a, step) rolls array `a` by `step`
-    cells along the stage axis; target_fn(rolled_fields, rolled_occ)
-    recomputes the stage-axis target cell from the rolled positions —
-    cheaper than carrying target columns through every stage. Returns
-    (fields, occ, dropped).
+    fields: [Z, K, C, F]; axis_roll(a, step) rolls array `a` by `step`
+    cells along the stage axis (±1 plane, ±X fused rows, ±1 fused cells);
+    target_fn(rolled_fields, rolled_occ) recomputes the stage-axis target
+    cell from the rolled positions. Returns (fields, occ, dropped).
     """
-    Z, Y, L = occ.shape
-    K = spec.k
-    X = spec.n2
-    F = fields.shape[-1]
+    Z, K, C = occ.shape
 
     cand_blocks, want_blocks = [], []
     for step in (-1, 0, 1):
@@ -508,21 +501,19 @@ def _compact_stage(fields, occ, own_coord, target_fn, axis_roll,
         so = axis_roll(occ, step)
         st = target_fn(sf, so)
         wants = (st == own_coord) & (so > 0.5)
-        cand_blocks.append(sf.reshape(Z, Y, X, K, F))
-        want_blocks.append(wants.reshape(Z, Y, X, K))
-    cand = jnp.concatenate(cand_blocks, axis=3)      # [Z,Y,X,3K,F]
-    wants = jnp.concatenate(want_blocks, axis=3)     # [Z,Y,X,3K]
+        cand_blocks.append(sf)
+        want_blocks.append(wants)
+    cand = jnp.concatenate(cand_blocks, axis=1)      # [Z, 3K, C, F]
+    wants = jnp.concatenate(want_blocks, axis=1)     # [Z, 3K, C]
 
-    rank = jnp.cumsum(wants.astype(jnp.int32), axis=3) - 1
+    rank = jnp.cumsum(wants.astype(jnp.int32), axis=1) - 1
     keep = wants & (rank < K)
     dropped = jnp.sum(wants & ~keep)
     # A particle whose target is > 1 cell away along this axis is claimed by
     # no cell in the sweep and would vanish silently: count it. (The
     # rebin_vmax clamp makes this impossible in normal operation.)
-    own_axis = own_coord.reshape(Z, Y, X, K)[..., :1]
-    tgt = target_fn(fields, occ).reshape(Z, Y, X, K)
-    occ_r = occ.reshape(Z, Y, X, K) > 0.5
-    unreachable = occ_r & (jnp.abs(tgt - own_axis) > 1)
+    tgt = target_fn(fields, occ)
+    unreachable = (occ > 0.5) & (jnp.abs(tgt - own_coord) > 1)
     dropped = dropped + jnp.sum(unreachable)
 
     # Masked-sum compaction (K fused reductions — avoids the tiny batched
@@ -530,11 +521,11 @@ def _compact_stage(fields, occ, own_coord, target_fn, axis_roll,
     outs = []
     occ_outs = []
     for k in range(K):
-        mk = (keep & (rank == k)).astype(jnp.float32)  # [Z,Y,X,3K]
-        outs.append(jnp.sum(mk[..., None] * cand, axis=3))
-        occ_outs.append(jnp.sum(mk, axis=3))
-    packed = jnp.stack(outs, axis=3).reshape(Z, Y, L, F)
-    occ_new = jnp.stack(occ_outs, axis=3).reshape(Z, Y, L)
+        mk = (keep & (rank == k)).astype(jnp.float32)  # [Z, 3K, C]
+        outs.append(jnp.sum(mk[..., None] * cand, axis=1))
+        occ_outs.append(jnp.sum(mk, axis=1))
+    packed = jnp.stack(outs, axis=1)                 # [Z, K, C, F]
+    occ_new = jnp.stack(occ_outs, axis=1)
     return packed, occ_new, dropped
 
 
@@ -548,8 +539,8 @@ def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
     ≤3K→K masked compaction — 9× less candidate traffic than a monolithic
     27-cell compaction. Overflow is counted, never silent.
     """
-    Z, Y, L = px.shape
-    K = spec.k
+    Z, K, C = px.shape
+    X = spec.X
     org = spec.origin
     wc = spec.world_cells()
 
@@ -573,23 +564,29 @@ def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
 
     fields = jnp.stack([px, py, pz, vx, vy, vz], axis=-1)
     occ = d.occ
-    own_2 = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 2) // K
-    own_1 = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 1)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    own_2 = iota_c % X
+    own_1 = iota_c // X
     # dim0 indices are GLOBAL: sharded callers pass the slab's offset so
     # migration targets (world cell coords) compare correctly.
-    own_0 = dim0_offset + jax.lax.broadcasted_iota(jnp.int32, (Z, Y, L), 0)
+    own_0 = dim0_offset + jax.lax.broadcasted_iota(jnp.int32, (Z, 1, 1), 0)
+
+    def roll_c(step_cells):
+        def f(a, s):
+            return jnp.roll(a, -s * step_cells, axis=2) if s else a
+        return f
 
     dropped = jnp.int32(0)
     stages = [
-        (own_2, coord_fn(spec.axis_map[2]),
-         lambda a, s: _roll(a, 0, 0, s * K)),              # lane-cell axis
+        (own_2, coord_fn(spec.axis_map[2]), roll_c(1)),    # in-row cells
     ]
     if spec.stencil1:
-        stages.append((own_1, coord_fn(spec.axis_map[1]),
-                       lambda a, s: _roll(a, 0, s, 0)))    # dim 1
+        stages.append((own_1, coord_fn(spec.axis_map[1]), roll_c(X)))
     if spec.stencil0:
-        stages.append((own_0, coord_fn(spec.axis_map[0]),
-                       lambda a, s: _roll(a, s, 0, 0)))    # dim 0
+        stages.append((
+            own_0, coord_fn(spec.axis_map[0]),
+            lambda a, s: jnp.roll(a, -s, axis=0) if s else a,  # planes
+        ))
     for own_coord, target_fn, axis_roll in stages:
         fields, occ, drp = _compact_stage(
             fields, occ, own_coord, target_fn, axis_roll, spec

@@ -55,7 +55,7 @@ def step_breakdown(dstate, params, spec, n=5) -> dict:
 
     out = {}
     out["grid_build_ms"], _ = _timed(
-        jax.jit(lambda d: tile_occupancy(d.occ)), dstate, n=n
+        jax.jit(lambda d: tile_occupancy(d.occ, spec)), dstate, n=n
     )
     out["density_ms"], rho = _timed(
         jax.jit(lambda d: density_pallas(d.px, d.py, d.pz, d.occ, params, spec)),

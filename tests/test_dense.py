@@ -169,10 +169,10 @@ def test_rebin_conserves_and_relocates():
     pos, _, _, _, m = unpack(d2)
     pos = np.asarray(pos)
     m = np.asarray(m)
-    L = spec.lanes
-    lanes = np.arange(d2.px.size)
-    i1 = (lanes % (spec.n1 * L)) // L            # layout dim 1 (= world y, 2D)
-    i2 = (lanes % L) // spec.k                   # layout lane-cell (= world x)
+    flat = np.arange(d2.px.size)                 # [Z, K, C] flat order
+    c = flat % spec.C
+    i1 = c // spec.X                             # layout dim 1 (= world y, 2D)
+    i2 = c % spec.X                              # layout dim 2 (= world x)
     org = np.asarray(spec.origin)
     cc = np.clip(
         ((pos - org) / spec.cell).astype(int),
@@ -249,9 +249,18 @@ def test_pallas_rebin_matches_xla_bit_exact():
     delta = jax.random.uniform(
         key, (3, *d.px.shape), minval=-0.9 * spec.cell, maxval=0.9 * spec.cell
     )
-    px = jnp.where(d.occ > 0.5, d.px + delta[0], d.px)
-    py = jnp.where(d.occ > 0.5, d.py + delta[1], d.py)
-    pz = jnp.where(d.occ > 0.5, d.pz + delta[2], d.pz)
+    # Random scatter + a convergent pull toward the domain center (per-axis
+    # clamped to the 1-cell reachability budget) so destination cells crowd
+    # past k and the overflow path is genuinely exercised.
+    lim = 0.9 * spec.cell
+    ctr = [(a + b) / 2 for a, b in zip(params.bounds_min, params.bounds_max)]
+    pull = lambda p, c: jnp.clip(c - p, -lim, lim)  # noqa: E731
+    px = jnp.where(d.occ > 0.5, d.px + 0.3 * delta[0] + pull(d.px, ctr[0]),
+                   d.px)
+    py = jnp.where(d.occ > 0.5, d.py + 0.3 * delta[1] + pull(d.py, ctr[1]),
+                   d.py)
+    pz = jnp.where(d.occ > 0.5, d.pz + 0.3 * delta[2] + pull(d.pz, ctr[2]),
+                   d.pz)
     a = jax.jit(
         lambda d, px, py, pz: rebin(d, px, py, pz, d.vx, d.vy, d.vz,
                                     params, spec)
