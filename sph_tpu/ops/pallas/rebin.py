@@ -55,7 +55,7 @@ def _stage_kernel(*refs, stage: int, K: int, CB: int, sc: int, nchunk: int,
     for f in range(NF):
         init = SENTINEL if f < 3 else 0.0
         outs[f][0] = jnp.full((K, CB), init, jnp.float32)
-    dropped_ref[0, 0, 0] = jnp.int32(0)
+    dropped_ref[0, 0, 0, 0] = jnp.int32(0)
 
     if stage != 0:
         # [K, CB + 2·shift] pads: halo lanes from the neighbor blocks.
@@ -127,7 +127,7 @@ def _stage_kernel(*refs, stage: int, K: int, CB: int, sc: int, nchunk: int,
     for ct in range(nchunk):
         @pl.when(occ_row[0, 0, cb * nchunk + ct] > 0)
         def _(ct=ct):
-            dropped_ref[0, 0, 0] = dropped_ref[0, 0, 0] + do_chunk(ct)
+            dropped_ref[0, 0, 0, 0] = dropped_ref[0, 0, 0, 0] + do_chunk(ct)
 
 
 def _pick_cb(C: int, sc: int, K: int, shift: int) -> int:
@@ -199,11 +199,11 @@ def _run_stage(fields, occ_row, stage, spec, params, dim0_offset):
         pl.BlockSpec((1, K, CB), lambda z, cb: (z, 0, cb),
                      memory_space=pltpu.VMEM)
         for _ in range(NF)
-    ] + [pl.BlockSpec((1, 1, 1), lambda z, cb: (z, cb, 0),
+    ] + [pl.BlockSpec((1, 1, 1, 1), lambda z, cb: (z, cb, 0, 0),
                       memory_space=pltpu.SMEM)]
     out_shape = [
         jax.ShapeDtypeStruct((N0, K, C), jnp.float32) for _ in range(NF)
-    ] + [jax.ShapeDtypeStruct((N0, nblocks, 1), jnp.int32)]
+    ] + [jax.ShapeDtypeStruct((N0, nblocks, 1, 1), jnp.int32)]
     args = [off, occ_row]
     for f in fields:
         args.extend([f] * 3)

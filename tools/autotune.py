@@ -22,15 +22,15 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_config(n_target, cf, rebin_every, substeps=15, rounds=3):
+def bench_config(n_target, cf, rebin_every, substeps=15, rounds=3, k=8):
     from sph_tpu.sph.dense import make_dense_spec, make_dense_step, pack
     from sph_tpu.sph.scenes import dam_break_3d
 
     state, params = dam_break_3d(n_target=n_target)
     params = params.replace(
-        cell_factor=cf, dense_k=8, rebin_every=rebin_every, use_pallas=True
+        cell_factor=cf, dense_k=k, rebin_every=rebin_every, use_pallas=True
     )
-    spec = make_dense_spec(params, k=8, cell_factor=cf)
+    spec = make_dense_spec(params, k=k, cell_factor=cf)
     N = state.pos.shape[0]
     d = pack(state, params, spec)
     f = make_dense_step(params, spec, substeps=substeps, donate=True)
@@ -57,17 +57,19 @@ def main():
     ap.add_argument("--cf", type=float, nargs="*",
                     default=[1.2, 1.3, 1.35, 1.4, 1.45])
     ap.add_argument("--rebin", type=int, nargs="*", default=[2, 3, 4, 6])
+    ap.add_argument("--k", type=int, nargs="*", default=[8])
     args = ap.parse_args()
     for cf in args.cf:
-        for re in args.rebin:
+      for re in args.rebin:
+        for k in args.k:
             try:
-                r = bench_config(args.n, cf, re)
+                r = bench_config(args.n, cf, re, k=k)
                 flag = "" if r["dropped"] == 0 else "  !! DROPPED"
-                print(f"cf={cf:<5} rebin={re}: {r['steps_per_sec']:7.2f} "
+                print(f"cf={cf:<5} rebin={re} k={k}: {r['steps_per_sec']:7.2f} "
                       f"steps/s  {r['psps']:6.2f}M ps/s  slots={r['slots']}"
                       f"{flag}", flush=True)
             except Exception as e:  # noqa: BLE001
-                print(f"cf={cf:<5} rebin={re}: FAILED {str(e)[:90]}",
+                print(f"cf={cf:<5} rebin={re} k={k}: FAILED {str(e)[:90]}",
                       flush=True)
 
 
