@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _bench_dense(n_target: int, steps: int = 30, substeps: int = 15,
+def _bench_dense(n_target: int, steps: int = 60, substeps: int = 15,
                  rebin_every: int = 6, obstacles=(), cell_factor: float = 1.25):
     from sph_tpu.sph.dense import make_dense_spec, pack, make_dense_step
     from sph_tpu.sph.scenes import dam_break_3d
@@ -99,7 +99,8 @@ def _bench_2d_dense(n_target: int, steps: int = 60, substeps: int = 30):
             "alive": int(n_alive), "dropped": int(dropped)}
 
 
-def _bench_cells(n: int, steps: int = 60, chunk: int = 30):
+def _bench_cells(n: int, steps: int = 60, chunk: int = 30,
+                 neighbor_mode: str = "grid"):
     """Biology/contact regime on the CURRENT backend: a prepopulated cell
     colony (contact + rotation + adhesion machinery + division bookkeeping,
     the reference's full frame) stepped via lax.scan chunks. The neighbor
@@ -111,16 +112,20 @@ def _bench_cells(n: int, steps: int = 60, chunk: int = 30):
 
     from sph_tpu import Simulation
 
-    # Volume fraction ~10%: R = r·(N/0.1)^(1/3); grid cell = 2·r (covers the
+    # Volume fraction ~40% (a packed colony — the adhered-clump regime the
+    # reference grows): R = r·(N/0.4)^(1/3); grid cell = 2·r (covers the
     # contact range r_i/2 + r_j/2 = r·1), dims sized to the spawn sphere.
+    # dense_k=4: cell centers sit ~2r apart at this packing, so a
+    # contact-range cell rarely holds >2 centers (overflow stays counted).
     r = 2.0
-    R = float(r * (n / 0.1) ** (1.0 / 3.0))
+    R = float(r * (n / 0.4) ** (1.0 / 3.0))
     cell = 2.0 * r
     dim = int(-(-2.0 * R // cell))
     params = reference_scene_params(
-        capacity=n, spawn_radius=R, neighbor_mode="grid",
+        capacity=n, spawn_radius=R, neighbor_mode=neighbor_mode,
         grid_dim=dim, grid_cell_size=cell, cell_capacity=16,
         max_splits_per_step=64, max_bonds=256,
+        dense_k=4, use_pallas=(neighbor_mode == "dense"),
     )
     sim = Simulation(
         reference_genome(), params, auto_grow=False, scan_chunk=chunk
@@ -132,16 +137,21 @@ def _bench_cells(n: int, steps: int = 60, chunk: int = 30):
         initial_mode=sim.genome.initial_mode_index, capacity=n,
         active_count=n,
     )
+    # Relay-safe timing: block_until_ready can return early through the
+    # axon tunnel — fetch one small scalar to force execution.
+    sync = lambda: float(jnp.sum(sim.state.pos[0]))  # noqa: E731
     sim.step(chunk)  # warm + compile
-    jax.block_until_ready(sim.state.pos)
+    sync()
     best = 0.0
     for _ in range(max(1, steps // chunk)):
         t0 = time.perf_counter()
         sim.step(chunk)
-        jax.block_until_ready(sim.state.pos)
+        sync()
         best = max(best, chunk / (time.perf_counter() - t0))
     return {"steps_per_sec": round(best, 2), "n_particles": n,
             "particle_steps_per_sec": round(best * n, 0),
+            "neighbor_mode": neighbor_mode,
+            "cell_overflow": int(sim.state.overflow),
             "backend": jax.default_backend()}
 
 
@@ -285,7 +295,8 @@ CONFIGS = {
         lambda: _bench_dense(262144)),
     3: ("3D dam-break + SDF obstacle 1M (dense grid + Pallas)",
         lambda: _bench_dense(
-            1_000_000, obstacles=(("cylinder_z", (1.2, 0.15), 0.12),)
+            1_000_000, obstacles=(("cylinder_z", (1.2, 0.15), 0.12),),
+            cell_factor=1.35,   # autotuned per rung (tools/autotune.py)
         )),
     4: ("3D dam-break 4M single-chip + 8-way decomposition dryrun",
         _bench_4m_multichip),
@@ -322,14 +333,13 @@ def main():
         detail = {head_name: head}
 
     if args.cells:
-        for n in (10_240, 102_400):
+        for n, mode in ((10_240, "grid"), (10_240, "dense"),
+                        (102_400, "dense")):
+            key = f"cell colony {n//1024}k (contact+adhesion, {mode})"
             try:
-                detail[f"cell colony {n//1024}k (contact+adhesion grid)"] = \
-                    _bench_cells(n)
+                detail[key] = _bench_cells(n, neighbor_mode=mode)
             except Exception as e:  # noqa: BLE001
-                detail[f"cell colony {n//1024}k (contact+adhesion grid)"] = {
-                    "error": str(e)[:200]
-                }
+                detail[key] = {"error": str(e)[:200]}
 
     if args.breakdown:
         from sph_tpu.sph.dense import make_dense_spec, pack

@@ -205,10 +205,17 @@ class SimParams:
     # Neighbor grid (compute:16-17; parameterized here).
     grid_dim: int = 32
     grid_cell_size: float = 4.0
-    # Neighbor algorithm: "bruteforce" | "grid"
+    # Neighbor algorithm: "bruteforce" | "grid" | "dense"
+    # ("dense" = the fused lane-roll engine shared with the fluid path —
+    # the TPU-fast contact regime, physics/contact_dense.py)
     neighbor_mode: str = "bruteforce"
     # Max particles binned per grid cell (grid mode; overflow is counted).
     cell_capacity: int = 32
+    # Dense mode: slots per cell and cell-size factor (× max_radius).
+    dense_k: int = 8
+    dense_cell_factor: float = 1.05
+    # Dense mode: run the Pallas kernels (False = the XLA twin).
+    use_pallas: bool = False
     contact_epsilon: float = 0.001
     slip_epsilon: float = 1e-4
 

@@ -20,12 +20,21 @@ from sph_tpu.physics.integrate import update_motion, update_rotation
 
 def contact_forces(state: SimState, params: SimParams):
     """Neighbor-sum dispatch: brute force (executable spec / BASELINE
-    config[0]) or spatial-hash grid (configs 1+)."""
+    config[0]), spatial-hash grid, or the dense fused sweep ('dense' —
+    the TPU-fast path sharing the fluid engine's kernels). Returns
+    (force, torque, overflow)."""
+    import jax.numpy as jnp
+
     if params.neighbor_mode == "bruteforce":
-        return contact_forces_bruteforce(state, params)
+        f, t = contact_forces_bruteforce(state, params)
+        return f, t, jnp.int32(0)
     elif params.neighbor_mode == "grid":
         from sph_tpu.ops.grid import contact_forces_grid
-        return contact_forces_grid(state, params)
+        f, t = contact_forces_grid(state, params)
+        return f, t, jnp.int32(0)
+    elif params.neighbor_mode == "dense":
+        from sph_tpu.physics.contact_dense import contact_forces_dense
+        return contact_forces_dense(state, params)
     raise ValueError(f"unknown neighbor_mode {params.neighbor_mode!r}")
 
 
@@ -44,8 +53,11 @@ def step(state: SimState, params: SimParams, genome: GenomeDevice,
     state = queue_splits(state, params, genome, dt=dt)
 
     # 3-4. Neighbor structure + contact force pass (K2/K3/K4).
-    force, torque = contact_forces(state, params)
+    force, torque, cell_overflow = contact_forces(state, params)
     state = apply_contact(state, params, force, torque, dt=dt)
+    state = state.replace_fields(
+        overflow=state.overflow + cell_overflow.astype(state.overflow.dtype)
+    )
 
     # 5. Adhesion constraints (K10/K11) — reads post-contact velocities.
     state = apply_adhesion(state, params, genome, dt=dt)

@@ -95,9 +95,9 @@ def _pick_cb(C: int, sc: int, K: int, X: int, nf: int, nz: int,
             continue
         cb = j * sc
         est = (
-            (nf * nz * 3 * cb + n_out * cb) * 2      # blocks, dbl-buffered
-            + nf * nz * (cb + 2 * (X + 1))           # pads
-            + (nf + n_out + 4) * sc                  # fori carry tiles
+            (nf * nz * (cb + 2 * sc) + n_out * cb) * 2   # blocks + halo tiles
+            + nf * nz * (cb + 2 * (X + 1))               # pads
+            + (nf + n_out + 4) * sc                      # fori carry tiles
         ) * K * 4
         if est <= _VMEM_BUDGET and cb > best:
             best = cb
@@ -106,7 +106,7 @@ def _pick_cb(C: int, sc: int, K: int, X: int, nf: int, nz: int,
 
 def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
                    dysc: tuple, X: int, sc: int, nchunk: int, pair_fn,
-                   self_init, sign: int):
+                   self_init, sign: int, explicit_mirror: bool = False):
     """Newton-symmetric fused pair sweep over one (plane, C-block).
 
     refs: occ_t (SMEM, full chunk-flag row), then per field × zi:
@@ -182,9 +182,11 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
                         lm = list(carry[nf:nf + ncomp])
                         accs = list(carry[nf + ncomp:])
                         ts = pair_fn(*cs, *qs)
+                        ms_ts = ts[ncomp:] if explicit_mirror else ts
+                        ts = ts[:ncomp]
                         accs = [a + t for a, t in zip(accs, ts)]
                         gate = (i < n_mirror).astype(jnp.float32)
-                        lm = [m + t * gate for m, t in zip(lm, ts)]
+                        lm = [m + t * gate for m, t in zip(lm, ms_ts)]
                         qs = [slot_roll(q, 1) for q in qs]
                         lm = [slot_roll(m, 1) for m in lm]
                         return (*qs, *lm, *accs)
@@ -215,10 +217,11 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
 
 
 def _newton_call(fields, occ, spec, pair_fn, ncomp, self_init, sign,
-                 flops_per_lane, transc_per_lane):
-    """Shared pallas_call builder for the density / accel sweeps over fused
-    [N0, K, C] fields. Returns (own, m_row, m_cs) part arrays (combine left
-    to the caller)."""
+                 flops_per_lane, transc_per_lane,
+                 explicit_mirror: bool = False):
+    """Shared pallas_call builder for the density / accel / contact sweeps
+    over fused [N0, K, C] fields. Returns (own, m_row, m_cs) part arrays
+    (combine left to the caller)."""
     N0, K, C = fields[0].shape
     X = spec.X
     nf = len(fields)
@@ -236,7 +239,7 @@ def _newton_call(fields, occ, spec, pair_fn, ncomp, self_init, sign,
     kernel = functools.partial(
         _newton_kernel, nf=nf, ncomp=ncomp, k=K, nz=nz, groups=groups,
         dysc=dysc, X=X, sc=sc, nchunk=nchunk, pair_fn=pair_fn,
-        self_init=self_init, sign=sign,
+        self_init=self_init, sign=sign, explicit_mirror=explicit_mirror,
     )
     # SMEM blocks keep trailing dims equal to the array's (Pallas TPU block
     # divisibility rule): whole chunk-flag row, indexed by cb·nchunk + ct.
@@ -246,19 +249,41 @@ def _newton_call(fields, occ, spec, pair_fn, ncomp, self_init, sign,
     blk = pl.BlockSpec(
         (1, K, CB), lambda z, cb: (z, 0, cb), memory_space=pltpu.VMEM
     )
-    field_specs = [
-        pl.BlockSpec(
-            (1, K, CB),
+    # Halo tiles are ONE sub-chunk (sc ≥ X+1 ≥ the pad width) from the
+    # neighbor block's facing edge — not the whole neighbor block, which
+    # would triple input HBM traffic (measured −20% at 4M).
+    assert sc >= X + 1, (sc, X)
+    ntile = C // sc
+    nper = CB // sc
+
+    def _spec(dz, db):
+        if db == 0:
+            return pl.BlockSpec(
+                (1, K, CB),
+                functools.partial(
+                    lambda z, cb, dz=0:
+                    (jnp.clip(z + dz, 0, N0 - 1), 0, cb),
+                    dz=dz,
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (1, K, sc),
             functools.partial(
                 lambda z, cb, dz=0, db=0: (
                     jnp.clip(z + dz, 0, N0 - 1),
                     0,
-                    jnp.clip(cb + db, 0, nblocks - 1),
+                    jnp.clip(
+                        cb * nper + (-1 if db < 0 else nper), 0, ntile - 1
+                    ),
                 ),
                 dz=dz, db=db,
             ),
             memory_space=pltpu.VMEM,
         )
+
+    field_specs = [
+        _spec(dz, db)
         for _f in range(nf)
         for dz in range(nz)
         for db in (0, -1, 1)

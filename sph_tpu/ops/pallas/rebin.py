@@ -185,16 +185,31 @@ def _run_stage(fields, occ_row, stage, spec, params, dim0_offset):
                     memory_space=pltpu.VMEM,
                 ))
         else:
+            # Halo = one sc tile off the neighbor block's facing edge
+            # (sc ≥ X ≥ shift), not the whole block — bounds input traffic.
+            ntile = C // sc
+            nper = CB // sc
             for db in (0, -1, 1):
-                ins.append(pl.BlockSpec(
-                    (1, K, CB),
-                    functools.partial(
-                        lambda z, cb, db=0:
-                        (z, 0, jnp.clip(cb + db, 0, nblocks - 1)),
-                        db=db,
-                    ),
-                    memory_space=pltpu.VMEM,
-                ))
+                if db == 0:
+                    ins.append(pl.BlockSpec(
+                        (1, K, CB), lambda z, cb: (z, 0, cb),
+                        memory_space=pltpu.VMEM,
+                    ))
+                else:
+                    ins.append(pl.BlockSpec(
+                        (1, K, sc),
+                        functools.partial(
+                            lambda z, cb, db=0: (
+                                z, 0,
+                                jnp.clip(
+                                    cb * nper + (-1 if db < 0 else nper),
+                                    0, ntile - 1,
+                                ),
+                            ),
+                            db=db,
+                        ),
+                        memory_space=pltpu.VMEM,
+                    ))
     out_specs = [
         pl.BlockSpec((1, K, CB), lambda z, cb: (z, 0, cb),
                      memory_space=pltpu.VMEM)

@@ -339,11 +339,17 @@ def sweep_groups(spec: DenseSpec):
 
 
 def _sweep_xla(fields, pair_fn, ncomp, self_init, spec: DenseSpec,
-               sign: int):
+               sign: int, explicit_mirror: bool = False):
     """XLA twin of the Newton-symmetric fused sweep. Whole-array rolls
     ([Z, K, C]: plane, slot, fused dy·X+dx); per (group, dx) one mirror
     lump accumulated in slot order then slot+lane-derolled — matching the
-    accumulation order of ops/pallas/fluid.py exactly."""
+    accumulation order of ops/pallas/fluid.py exactly.
+
+    explicit_mirror: pair_fn returns 2·ncomp terms — own then mirror
+    (partner-side) values — instead of mirrors being sign·own. Needed when
+    the partner contribution is not a pure negation (e.g. the contact
+    torque, whose lever arm is the partner's radius). Folding then uses
+    sign=+1 semantics (mirror values arrive pre-signed)."""
     shape = fields[0].shape
     X = spec.X
     zeros = jnp.zeros(shape, jnp.float32)
@@ -367,11 +373,13 @@ def _sweep_xla(fields, pair_fn, ncomp, self_init, spec: DenseSpec,
                     for f in fields
                 ]
                 ts = pair_fn(*fields, *qs)
+                ms_ts = ts[ncomp:] if explicit_mirror else ts
+                ts = ts[:ncomp]
                 accs = [a + t for a, t in zip(accs, ts)]
                 if m in mirror_ms:
                     lumps = [
                         lm + jnp.roll(t, (m, dx), (1, 2))
-                        for lm, t in zip(lumps, ts)
+                        for lm, t in zip(lumps, ms_ts)
                     ]
             if dest == "acc":
                 accs = [

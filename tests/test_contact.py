@@ -130,3 +130,129 @@ def test_pair_contact_matches_bruteforce_rowsum():
     )
     np.testing.assert_allclose(f, fp.sum(1), atol=1e-4)
     np.testing.assert_allclose(t, tp.sum(1), atol=1e-4)
+
+
+def _random_colony(n=400, seed=0, radius_spread=True):
+    """Crowded ball with real contacts. dense_k=4 keeps the dense sweep's
+    unrolled-variant graph small enough for fast CPU compiles (the sweep
+    size scales with K; k=8 is exercised on-chip by bench.py --cells)."""
+    import jax
+
+    params = SimParams(
+        capacity=n, spawn_radius=12.0, neighbor_mode="dense",
+        dense_k=4, max_bonds=8, max_splits_per_step=4,
+    )
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
+    u = jax.random.normal(k1, (n, 3))
+    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    r = 10.5 * jax.random.uniform(k2, (n, 1)) ** (1 / 3)
+    st = SimState.zeros(n, params)
+    st = st.replace_fields(
+        pos=u * r,
+        vel=jax.random.normal(k3, (n, 3)) * 0.5,
+        ang_vel=jax.random.normal(k4, (n, 3)) * 0.5,
+        radius=(
+            jnp.linspace(1.5, 2.0, n) if radius_spread else jnp.full(n, 2.0)
+        ),
+        active_count=jnp.int32(n),
+    )
+    return st, params
+
+
+def test_dense_contact_matches_bruteforce():
+    """The dense fused-sweep contact path (physics/contact_dense.py) must
+    reproduce the brute-force executable spec to float re-association
+    tolerance — including the ASYMMETRIC partner torque (each side's own
+    contact arm, compute:282-294), which exercises the explicit-mirror
+    sweep machinery."""
+    import jax
+
+    from sph_tpu.physics.contact_dense import contact_forces_dense
+
+    st, params = _random_colony()
+    fb, tb = contact_forces_bruteforce(st, params)
+    fd, td, ovf = jax.jit(
+        lambda s: contact_forces_dense(s, params)
+    )(st)
+    assert int(ovf) == 0
+    f_scale = float(jnp.abs(fb).max())
+    t_scale = float(jnp.abs(tb).max())
+    assert f_scale > 0 and t_scale > 0  # the colony really interacts
+    np.testing.assert_allclose(
+        np.asarray(fd), np.asarray(fb), atol=2e-4 * f_scale, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(td), np.asarray(tb), atol=2e-4 * t_scale, rtol=2e-4
+    )
+
+
+def test_dense_contact_pallas_matches_xla_twin():
+    """Pallas contact sweep == XLA twin (explicit-mirror path), interpret
+    mode off-TPU; same contract as the fluid twins."""
+    import jax
+
+    from sph_tpu.physics.contact_dense import contact_forces_dense
+
+    st, params = _random_colony(n=200, seed=1)
+    fx, tx, ox = jax.jit(
+        lambda s: contact_forces_dense(s, params.replace(use_pallas=False))
+    )(st)
+    fp, tp, op = jax.jit(
+        lambda s: contact_forces_dense(s, params.replace(use_pallas=True))
+    )(st)
+    assert int(ox) == int(op) == 0
+    scale = float(jnp.abs(fx).max())
+    np.testing.assert_allclose(
+        np.asarray(fp), np.asarray(fx), rtol=1e-5, atol=1e-6 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp), np.asarray(tx), rtol=1e-5,
+        atol=1e-6 * float(jnp.abs(tx).max()),
+    )
+
+
+def test_dense_contact_overflow_counted():
+    """More than dense_k particles piled into one cell: the surplus exerts
+    no force but is COUNTED, never silent."""
+    import jax
+
+    from sph_tpu.physics.contact_dense import contact_forces_dense
+
+    n = 12
+    params = SimParams(capacity=n, spawn_radius=12.0, dense_k=4)
+    st = SimState.zeros(n, params)
+    st = st.replace_fields(
+        pos=jax.random.normal(jax.random.PRNGKey(0), (n, 3)) * 0.05,
+        radius=jnp.full(n, 2.0),
+        active_count=jnp.int32(n),
+    )
+    _, _, ovf = contact_forces_dense(st, params)
+    assert int(ovf) == n - 4
+
+
+def test_simulation_runs_with_dense_neighbor_mode():
+    """The full cell-sim frame (division + adhesion + drag + rotation) runs
+    on the dense contact path and matches the grid path's trajectory."""
+    from sph_tpu import Simulation
+    from sph_tpu.engine.config import reference_genome, reference_scene_params
+
+    base = reference_scene_params(capacity=16).replace(
+        dt=0.5, max_splits_per_step=8, max_bonds=64, dense_k=4,
+    )
+    sims = {}
+    for mode in ("grid", "dense"):
+        p = base.replace(
+            neighbor_mode=mode,
+            grid_dim=16, grid_cell_size=4.0, cell_capacity=16,
+        )
+        s = Simulation(reference_genome(), p, seed=5)
+        s.step(25)
+        sims[mode] = s
+    a, b = sims["grid"], sims["dense"]
+    assert int(a.state.active_count) == int(b.state.active_count) >= 2
+    n = int(a.state.active_count)
+    np.testing.assert_allclose(
+        np.asarray(a.state.pos[:n]), np.asarray(b.state.pos[:n]),
+        rtol=1e-3, atol=1e-3,
+    )
+    assert int(b.state.overflow) == 0
