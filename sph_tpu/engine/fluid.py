@@ -108,9 +108,14 @@ class FluidSimulation:
                 np.float32,
             ))
             camera.focus_on(center, distance=1.6 * extent)
+        import jax.numpy as jnp
+
         pos, _, rho, _, mask = unpack(self.dstate)
+        # Screen-space radius scaling (projected-size splat classes): SPH
+        # particles render at their smoothing-scale footprint h/2.
         img = render_points(
             pos, camera.view_params(), width=width, height=height, mask=mask,
+            radius=jnp.full(pos.shape[0], self.params.h * 0.5),
         )
         if path:
             save_image(img, path)

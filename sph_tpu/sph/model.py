@@ -53,9 +53,9 @@ class SPHParams:
     # Pallas kernels for the pair passes, and rebin cadence (velocities are
     # clamped so drift between rebins stays within the stencil margin).
     dense_k: int = 8
-    cell_factor: float = 1.5
+    cell_factor: float = 1.25   # autotuned on v5e (tools/autotune.py)
     use_pallas: bool = True
-    rebin_every: int = 1
+    rebin_every: int = 6        # drift margin still enforced via rebin_vmax
     # SDF obstacles: tuple of (kind, params...) — see sdf_obstacles().
     obstacles: tuple = ()
     obstacle_stiffness: float = 3e4
