@@ -310,9 +310,11 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--breakdown", action="store_true",
                     help="also report per-phase ms (grid build vs force sum)")
-    ap.add_argument("--verify", action="store_true",
+    ap.add_argument("--verify", action="store_true", default=True,
                     help="assert Pallas == XLA bit equality on this backend "
-                         "and include the result in the JSON line")
+                         "and include the result in the JSON line (default "
+                         "ON; --no-verify to skip)")
+    ap.add_argument("--no-verify", dest="verify", action="store_false")
     ap.add_argument("--cells", action="store_true",
                     help="also bench the biology/contact regime (10k + 100k "
                          "colonies on the sort+gather grid engine)")

@@ -31,25 +31,43 @@ class FluidSimulation:
     """
 
     def __init__(self, state: SPHState, params: SPHParams,
-                 substeps: int = 10, donate: bool = True):
+                 substeps: int = 10, donate: bool = True, mesh=None):
+        """mesh: optional jax.sharding.Mesh (1D) — the simulation then runs
+        sharded over layout dim 0 with ppermute halo exchange (spatial
+        domain decomposition, BASELINE config[4]); results are bit-aligned
+        with the single-device engine (tests/test_dist.py). Use
+        parallel.dist.make_multislice_mesh for multi-slice deployments."""
         self.params = params
         self.substeps = substeps
+        self.mesh = mesh
         self.spec = make_dense_spec(
             params, k=params.dense_k, cell_factor=params.cell_factor
         )
         self.dstate: DenseFluidState = pack(state, params, self.spec)
-        self._step = make_dense_step(
-            params, self.spec, substeps=substeps, donate=donate
-        )
+        if mesh is None:
+            self._step = make_dense_step(
+                params, self.spec, substeps=substeps, donate=donate
+            )
+        else:
+            from sph_tpu.parallel.dist import (
+                make_sharded_dense_step,
+                shard_dense_state,
+            )
+
+            self.dstate = shard_dense_state(self.dstate, mesh)
+            self._step = make_sharded_dense_step(
+                params, self.spec, mesh, substeps=substeps, donate=donate
+            )
         self._steps_per_sec = float("nan")
 
     @classmethod
-    def from_scene(cls, scene: str, substeps: int = 10, **scene_kwargs):
+    def from_scene(cls, scene: str, substeps: int = 10, mesh=None,
+                   **scene_kwargs):
         from sph_tpu.sph import scenes
 
         builder = getattr(scenes, scene)
         state, params = builder(**scene_kwargs)
-        return cls(state, params, substeps=substeps)
+        return cls(state, params, substeps=substeps, mesh=mesh)
 
     # -- stepping -------------------------------------------------------------
 
@@ -135,7 +153,10 @@ class FluidSimulation:
         np.savez_compressed(path, __header__=header, **flat)
 
     @classmethod
-    def load(cls, path: str) -> "FluidSimulation":
+    def load(cls, path: str, mesh=None) -> "FluidSimulation":
+        """Resume from a checkpoint — optionally onto a device mesh (the
+        state resharding is just a device_put; checkpoints are
+        mesh-agnostic)."""
         with np.load(path, allow_pickle=False) as data:
             header = json.loads(str(data["__header__"]))
             flat = {k: data[k] for k in data.files if k != "__header__"}
@@ -146,14 +167,26 @@ class FluidSimulation:
         sim = cls.__new__(cls)
         sim.params = params
         sim.substeps = header["substeps"]
+        sim.mesh = mesh
         sim.spec = make_dense_spec(
             params, k=params.dense_k, cell_factor=params.cell_factor
         )
         sim.dstate = DenseFluidState(**{
             k: jnp.asarray(v) for k, v in flat.items()
         })
-        sim._step = make_dense_step(
-            params, sim.spec, substeps=sim.substeps, donate=True
-        )
+        if mesh is None:
+            sim._step = make_dense_step(
+                params, sim.spec, substeps=sim.substeps, donate=True
+            )
+        else:
+            from sph_tpu.parallel.dist import (
+                make_sharded_dense_step,
+                shard_dense_state,
+            )
+
+            sim.dstate = shard_dense_state(sim.dstate, mesh)
+            sim._step = make_sharded_dense_step(
+                params, sim.spec, mesh, substeps=sim.substeps, donate=True
+            )
         sim._steps_per_sec = float("nan")
         return sim

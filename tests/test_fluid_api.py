@@ -67,3 +67,56 @@ def test_app_cli_fluid_smoke(tmp_path):
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     m = json.loads(line)
     assert m["n_particles"] > 0
+
+
+def test_fluid_simulation_on_mesh(tmp_path):
+    """Public multi-chip path: FluidSimulation(mesh=...) runs the sharded
+    engine (config[4] decomposition) and matches the single-device API;
+    checkpoints are mesh-agnostic both ways."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from sph_tpu.engine.fluid import FluidSimulation
+
+    from sph_tpu.sph.model import SPHParams, SPHState
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    # Random fluid (a lattice packs 2^3 points per cell at any cell_factor,
+    # forcing k=8 whose XLA twin compiles slowly on CPU — k=4 keeps this
+    # fast, same trade as tests/test_dist.py).
+    rng = np.random.default_rng(0)
+    n = 500
+    pos = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+    h = float((0.15 * 0.729 / n) ** (1 / 3))
+    params = SPHParams(
+        ndim=3, h=h, particle_mass=1000.0 / n,
+        bounds_min=(0.0, 0.0, 0.0), bounds_max=(1.0, 1.0, 1.0),
+        dt=0.25 * h / 60.0, sound_speed=60.0,
+        dense_k=4, cell_factor=1.3, rebin_every=3, use_pallas=False,
+    )
+    import jax.numpy as jnp
+
+    state = SPHState.from_positions(jnp.asarray(pos), params)
+    a = FluidSimulation(state, params, substeps=6)
+    b = FluidSimulation(state, params, substeps=6, mesh=mesh)
+    a.run(6)
+    b.run(6)
+    np.testing.assert_array_equal(
+        np.asarray(a.dstate.occ), np.asarray(b.dstate.occ)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.dstate.px), np.asarray(b.dstate.px), rtol=1e-6
+    )
+    assert b.metrics()["dropped"] == 0
+
+    # Checkpoint round-trip across meshes.
+    p = str(tmp_path / "ck.npz")
+    b.save(p)
+    c = FluidSimulation.load(p)          # sharded -> single device
+    d = FluidSimulation.load(p, mesh=mesh)  # single file -> mesh
+    c.run(6)
+    d.run(6)
+    np.testing.assert_allclose(
+        np.asarray(c.dstate.px), np.asarray(d.dstate.px), rtol=1e-6
+    )
