@@ -177,22 +177,30 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
                     qs = [slot_roll(b, m0) for b in base]
                     lumps = [jnp.zeros((k, sc), jnp.float32)] * ncomp
 
-                    def body(i, carry, n_mirror=n_mirror):
+                    # Unroll the m sweep by U inside the fori body: the op
+                    # SEQUENCE is identical (accumulation order preserved —
+                    # the twin contract holds bit-for-bit), but loop-carry
+                    # round-trips drop 4× (the carries are nf+2·ncomp tiles;
+                    # their per-iteration traffic dominates the force pass).
+                    U = n_m  # full unroll: one fori iteration, zero carry round-trips
+
+                    def body(i, carry, n_mirror=n_mirror, U=U):
                         qs = list(carry[:nf])
                         lm = list(carry[nf:nf + ncomp])
                         accs = list(carry[nf + ncomp:])
-                        ts = pair_fn(*cs, *qs)
-                        ms_ts = ts[ncomp:] if explicit_mirror else ts
-                        ts = ts[:ncomp]
-                        accs = [a + t for a, t in zip(accs, ts)]
-                        gate = (i < n_mirror).astype(jnp.float32)
-                        lm = [m + t * gate for m, t in zip(lm, ms_ts)]
-                        qs = [slot_roll(q, 1) for q in qs]
-                        lm = [slot_roll(m, 1) for m in lm]
+                        for u in range(U):
+                            ts = pair_fn(*cs, *qs)
+                            ms_ts = ts[ncomp:] if explicit_mirror else ts
+                            ts = ts[:ncomp]
+                            accs = [a + t for a, t in zip(accs, ts)]
+                            gate = (i * U + u < n_mirror).astype(jnp.float32)
+                            lm = [m + t * gate for m, t in zip(lm, ms_ts)]
+                            qs = [slot_roll(q, 1) for q in qs]
+                            lm = [slot_roll(m, 1) for m in lm]
                         return (*qs, *lm, *accs)
 
                     out = jax.lax.fori_loop(
-                        0, n_m, body, (*qs, *lumps, *accs)
+                        0, n_m // U, body, (*qs, *lumps, *accs)
                     )
                     accs = list(out[nf + ncomp:])
                     # Slot deroll (frame offset m0+n_m), then lane deroll
