@@ -1,9 +1,10 @@
 """Benchmark harness. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.json): particle-steps/sec at 256k, 3D dam break,
-dense-grid engine with Pallas kernels on one chip. vs_baseline is the
-fraction of the 60M particle-steps/s north star (1M particles × 60 steps/s).
+Headline metric: particle-steps/sec on the NORTH-STAR config
+(BASELINE.json: 1M-particle 3D dam break at >=60 physics steps/s on one
+chip) — the dense-grid engine with Pallas kernels. vs_baseline is the
+fraction of the 60M particle-steps/s target (1M particles x 60 steps/s).
 
 Run on the real TPU (default platform); pass --config N for other ladder
 rungs, --all for the whole ladder.
@@ -305,7 +306,7 @@ CONFIGS = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=2,
+    ap.add_argument("--config", type=int, default=3,
                     choices=sorted(CONFIGS), help="ladder rung to run")
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--breakdown", action="store_true",
@@ -327,7 +328,7 @@ def main():
                 detail[name] = fn()
             except Exception as e:  # noqa: BLE001
                 detail[name] = {"error": str(e)[:200]}
-        head_name = CONFIGS[2][0]
+        head_name = CONFIGS[3][0]
         head = detail[head_name]
     else:
         head_name, fn = CONFIGS[args.config]
