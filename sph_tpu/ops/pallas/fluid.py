@@ -23,12 +23,17 @@ Structure (see sph.dense's sweep docs for the full derivation):
   In-row mirrors (A, B) fold straight into the accumulator; row/plane-
   crossing mirrors (C, D) go to separate outputs folded by
   sph.dense.combine_mirror_parts.
-- BLOCKED GRID (N0 planes × C/CB fused blocks) with full neighbor-block
-  fetches for the ±(X+1) halo: bounds VMEM at any problem size. CB picked
-  per shape (multiple of the sub-chunk SC = lcm(X, 128)).
+- BLOCKED GRID (N0 planes × C/CB fused blocks); the ±(X+1) halo comes
+  from ONE sub-chunk tile off each neighbor block's facing edge (full
+  neighbor blocks would triple input HBM traffic). CB picked per shape
+  (multiple of the sub-chunk SC).
 - TILE SKIP: per sub-chunk occupancy (SMEM) gates all work with pl.when.
   Skipped tiles differ from the XLA twin only at sentinel lanes (garbage →
   rest-density fixup / exact ±0 accel), never at real particles.
+- The slot (m) sweep is UNROLLED inside the fori body (one iteration per
+  (group, dx)): loop-carried tiles round-trip VMEM per iteration, and at
+  the force pass's nf+2·ncomp carries that traffic dominated the kernel
+  (measured 1.6–2.3× end-to-end from unrolling alone).
 """
 
 from __future__ import annotations
@@ -63,8 +68,8 @@ def sub_chunk(spec) -> int:
     """Sub-chunk lane count: the unit of tile-skip and in-kernel iteration.
     A multiple of the row length X (so chunk edges are sentinel margin
     columns — mirror-lump rolls wrap safely) and of 128 (full vregs),
-    widened to ≥512 lanes (4 vregs) so the fori-loop body amortizes its
-    per-iteration overhead — 1-vreg bodies measured ~1.8× slower."""
+    widened toward 1024 lanes (8 vregs): 1-vreg chunk bodies measured
+    ~1.8× slower, and 512 ~15% slower than 1024 with the unrolled sweep."""
     X = spec.X
     base = X * 128 // math.gcd(X, 128)
     nsub = spec.C // base
