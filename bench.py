@@ -297,7 +297,7 @@ CONFIGS = {
     3: ("3D dam-break + SDF obstacle 1M (dense grid + Pallas)",
         lambda: _bench_dense(
             1_000_000, obstacles=(("cylinder_z", (1.2, 0.15), 0.12),),
-            cell_factor=1.35,   # autotuned per rung (tools/autotune.py)
+            cell_factor=1.38,   # autotuned per rung (tools/autotune.py)
         )),
     4: ("3D dam-break 4M single-chip + 8-way decomposition dryrun",
         _bench_4m_multichip),
