@@ -107,6 +107,7 @@ class FluidSimulation:
             "max_density": float(rho.max()) if len(rho) else 0.0,
             "max_speed": float(np.linalg.norm(vel, axis=-1).max()) if len(vel) else 0.0,
             "dropped": int(self.dstate.dropped),
+            "clamped": int(self.dstate.clamped),
             "steps_per_sec": self._steps_per_sec,
         }
 
@@ -160,6 +161,8 @@ class FluidSimulation:
         with np.load(path, allow_pickle=False) as data:
             header = json.loads(str(data["__header__"]))
             flat = {k: data[k] for k in data.files if k != "__header__"}
+        # Checkpoints written before the clamp diagnostic existed lack it.
+        flat.setdefault("clamped", np.int32(0))
         params = SPHParams(**{
             k: tuple(v) if isinstance(v, list) else v
             for k, v in header["params"].items()

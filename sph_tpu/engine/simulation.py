@@ -206,25 +206,22 @@ class Simulation:
     def pick(self, ray_origin, ray_dir) -> int:
         """CPU ray-sphere intersection over active particles using max_radius
         as pick radius (cs:977-1013). Returns slot or -1."""
-        pos = np.asarray(self.state.pos)
         n = int(self.state.active_count)
+        if n == 0:
+            return -1
+        pos = np.asarray(self.state.pos)[:n]
         o = np.asarray(ray_origin, np.float32)
         d = np.asarray(ray_dir, np.float32)
         d = d / max(np.linalg.norm(d), 1e-12)
-        best, best_t = -1, np.inf
         r = self.params.max_radius
-        for i in range(n):
-            oc = pos[i] - o
-            tca = float(np.dot(oc, d))
-            if tca < 0:
-                continue
-            d2 = float(np.dot(oc, oc)) - tca * tca
-            if d2 > r * r:
-                continue
-            t = tca - float(np.sqrt(r * r - d2))
-            if t < best_t:
-                best, best_t = i, t
-        return best
+        oc = pos - o                                   # [n, 3]
+        tca = oc @ d                                   # [n]
+        d2 = np.einsum("ij,ij->i", oc, oc) - tca * tca
+        hit = (tca >= 0) & (d2 <= r * r)
+        t = tca - np.sqrt(np.maximum(r * r - d2, 0.0))
+        t = np.where(hit, t, np.inf)
+        best = int(np.argmin(t))
+        return best if np.isfinite(t[best]) else -1
 
     def set_drag(self, slot: int, target, strength: float = 100.0) -> None:
         """Engage the drag force on a particle (K5 parity; strength 100 while

@@ -30,8 +30,7 @@ def contact_forces(state: SimState, params: SimParams):
         return f, t, jnp.int32(0)
     elif params.neighbor_mode == "grid":
         from sph_tpu.ops.grid import contact_forces_grid
-        f, t = contact_forces_grid(state, params)
-        return f, t, jnp.int32(0)
+        return contact_forces_grid(state, params)
     elif params.neighbor_mode == "dense":
         from sph_tpu.physics.contact_dense import contact_forces_dense
         return contact_forces_dense(state, params)

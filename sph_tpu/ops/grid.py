@@ -191,7 +191,11 @@ def stencil_candidates_sorted(
 def contact_forces_grid(state: SimState, params: SimParams,
                         row_block: int = 2048):
     """Grid-accelerated contact sums; must match contact_forces_bruteforce
-    exactly whenever the interaction radius fits one cell."""
+    exactly whenever the interaction radius fits one cell.
+
+    Returns (force, torque, overflow): particles beyond a cell's capacity K
+    are absent from the candidate bins (they exert/receive no force this
+    step) but COUNTED — the module contract, never silently dropped."""
     from sph_tpu.physics.contact import pair_contact
 
     N = state.capacity
@@ -224,4 +228,4 @@ def contact_forces_grid(state: SimState, params: SimParams,
         fb, tb = jax.lax.map(block, jnp.arange(nb, dtype=jnp.int32))
         force = fb.reshape(padded, 3)[:N]
         torque = tb.reshape(padded, 3)[:N]
-    return force, torque
+    return force, torque, bins.overflow

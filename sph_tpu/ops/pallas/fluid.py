@@ -76,6 +76,14 @@ def sub_chunk(spec) -> int:
     m = max(1, 1024 // base)
     while nsub % m:
         m -= 1
+    if base * m == X:
+        # Wide-domain corner (X a multiple of 128 and ≥ 1024 ⇒ base = X,
+        # m = 1): the one-sub-chunk halo tile would be narrower than the
+        # ±(X+1) pad. Widen to the smallest divisor of nsub > 1 (nsub = n1
+        # here, a multiple of 8, so 2 always works).
+        m = 2
+        while nsub % m:
+            m += 1
     return base * m
 
 

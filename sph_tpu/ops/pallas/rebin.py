@@ -281,5 +281,6 @@ def rebin_pallas(d, px, py, pz, vx, vy, vz, params, spec, dim0_offset=0):
         occ=jnp.where(empty, 0.0, 1.0),
         rho=d.rho, prs=d.prs,
         dropped=d.dropped + dropped.astype(jnp.int32),
+        clamped=d.clamped,
         step_count=d.step_count,
     )

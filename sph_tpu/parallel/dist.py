@@ -104,10 +104,14 @@ def _local_step(d: DenseFluidState, params: SPHParams, spec: DenseSpec,
         ax, ay, az = accel_pass(dp, params, spec)
 
     dpi = d.replace_fields(rho=rho_own, prs=prs_own)
-    px, py, pz, vx, vy, vz = _integrate(
+    px, py, pz, vx, vy, vz, n_clamped = _integrate(
         dp.replace_fields(rho=rho_pad, prs=prs_pad),
         ax, ay, az, params, rebin_vmax(params, spec),
     )
+    # Clamp diagnostic: counted on the padded slab, so boundary-plane hits
+    # can double-count across shards (alarm semantics, like `dropped`);
+    # psum keeps the replicated counter identical on every shard.
+    n_clamped = jax.lax.psum(n_clamped, axis_name)
     px, py, pz = px[1:-1], py[1:-1], pz[1:-1]
     vx, vy, vz = vx[1:-1], vy[1:-1], vz[1:-1]
 
@@ -149,7 +153,9 @@ def _local_step(d: DenseFluidState, params: SPHParams, spec: DenseSpec,
             d.step_count % params.rebin_every == params.rebin_every - 1,
             do_rebin, no_rebin, (px, py, pz, vx, vy, vz),
         )
-    return d.replace_fields(step_count=d.step_count + 1)
+    return d.replace_fields(
+        step_count=d.step_count + 1, clamped=d.clamped + n_clamped
+    )
 
 
 def _pad_fill(params: SPHParams) -> dict[str, float]:
@@ -189,7 +195,7 @@ def make_sharded_dense_step(params: SPHParams, spec: DenseSpec, mesh: Mesh,
     arr = P(axis, None, None)
     spec_in = DenseFluidState(
         px=arr, py=arr, pz=arr, vx=arr, vy=arr, vz=arr, occ=arr,
-        rho=arr, prs=arr, dropped=P(), step_count=P(),
+        rho=arr, prs=arr, dropped=P(), clamped=P(), step_count=P(),
     )
     f_shard = jax.shard_map(
         local, mesh=mesh, in_specs=(spec_in,), out_specs=spec_in,

@@ -127,16 +127,18 @@ def make_dense_spec(params: SPHParams, k: int = 8,
 
     n0 = wc[axis_map[0]]
     # n1 a multiple of 8 and n2 of 16 ⇒ the fused minor axis C = n1·n2 is
-    # always a multiple of 128 (full VPU lane width).
+    # always a multiple of 128 (full VPU lane width) — independent of k
+    # (an earlier 128//k lane_mult only guaranteed this for k = 8).
     w1 = wc[axis_map[1]]
     n1 = -(-w1 // 8) * 8 if w1 <= 8 else -(-w1 // 32) * 32
-    lane_mult = max(1, 128 // k)
-    n2 = -(-wc[axis_map[2]] // lane_mult) * lane_mult
-    return DenseSpec(
+    n2 = -(-wc[axis_map[2]] // 16) * 16
+    spec = DenseSpec(
         n0=n0, n1=n1, n2=n2, k=k, cell=cell, origin=origin,
         ndim=params.ndim, axis_map=axis_map,
         stencil0=wc[axis_map[0]] > 1, stencil1=wc[axis_map[1]] > 1,
     )
+    assert spec.C % 128 == 0, (spec.n1, spec.n2)
+    return spec
 
 
 @pytree_dataclass
@@ -153,6 +155,13 @@ class DenseFluidState:
     rho: jnp.ndarray
     prs: jnp.ndarray
     dropped: jnp.ndarray   # i32: rebin overflow casualties (counted loudly)
+    # i32: cumulative lane-count of rebin_vmax velocity-clamp hits. The clamp
+    # keeps inter-rebin drift inside the stencil margin; a hit means the
+    # physics was altered (the particle was speed-limited), so it is counted
+    # as loudly as `dropped` — at the default cf=1.25/rebin=6, vmax ≈
+    # 0.083·sound_speed, below the ~0.1c WCSPH envelope, and a persistent
+    # non-zero count says to raise cell_factor or lower rebin_every.
+    clamped: jnp.ndarray
     step_count: jnp.ndarray
 
 
@@ -201,6 +210,7 @@ def pack(state: SPHState, params: SPHParams, spec: DenseSpec) -> DenseFluidState
         rho=jnp.full(shape, params.rest_density, jnp.float32),
         prs=jnp.zeros(shape, jnp.float32),
         dropped=jnp.int32(0),
+        clamped=jnp.int32(0),
         step_count=jnp.int32(0),
     )
 
@@ -450,7 +460,11 @@ def rebin_vmax(params: SPHParams, spec: DenseSpec) -> float:
 def _integrate(d: DenseFluidState, ax, ay, az, params: SPHParams,
                vmax: float):
     """Gravity/obstacles + symplectic Euler (velocity clamped to the rebin
-    reachability budget BEFORE the position update) + box walls."""
+    reachability budget BEFORE the position update) + box walls.
+
+    Returns (px, py, pz, vx, vy, vz, n_clamped): n_clamped counts the lanes
+    the vmax clamp actually limited — a loud fidelity diagnostic (the clamp
+    alters physics when it fires; see DenseFluidState.clamped)."""
     dt = params.dt
     ay = ay - params.gravity
     if params.obstacles:
@@ -465,6 +479,7 @@ def _integrate(d: DenseFluidState, ax, ay, az, params: SPHParams,
     vz = jnp.where(occ, d.vz + az * dt, 0.0) if params.ndim == 3 else d.vz * 0
     speed = jnp.sqrt(vx * vx + vy * vy + vz * vz)
     scale = jnp.minimum(1.0, vmax / jnp.maximum(speed, 1e-12))
+    n_clamped = jnp.sum(occ & (speed > vmax)).astype(jnp.int32)
     vx, vy, vz = vx * scale, vy * scale, vz * scale
     px = jnp.where(occ, d.px + vx * dt, d.px)
     py = jnp.where(occ, d.py + vy * dt, d.py)
@@ -486,7 +501,7 @@ def _integrate(d: DenseFluidState, ax, ay, az, params: SPHParams,
             py, vy = jnp.where(occ, p_new, py), v_new
         else:
             pz, vz = jnp.where(occ, p_new, pz), v_new
-    return px, py, pz, vx, vy, vz
+    return px, py, pz, vx, vy, vz, n_clamped
 
 
 def _compact_stage(fields, occ, own_coord, target_fn, axis_roll,
@@ -612,6 +627,7 @@ def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
         occ=jnp.where(empty, 0.0, 1.0),
         rho=d.rho, prs=d.prs,
         dropped=d.dropped + dropped.astype(jnp.int32),
+        clamped=d.clamped,
         step_count=d.step_count,
     )
 
@@ -638,7 +654,7 @@ def dense_step(d: DenseFluidState, params: SPHParams,
         d = d.replace_fields(rho=rho, prs=prs)
         ax, ay, az = accel_pass(d, params, spec)
 
-    px, py, pz, vx, vy, vz = _integrate(
+    px, py, pz, vx, vy, vz, n_clamped = _integrate(
         d, ax, ay, az, params, rebin_vmax(params, spec)
     )
 
@@ -661,7 +677,9 @@ def dense_step(d: DenseFluidState, params: SPHParams,
             d.step_count % params.rebin_every == params.rebin_every - 1,
             do_rebin, no_rebin, (px, py, pz, vx, vy, vz),
         )
-    return d.replace_fields(step_count=d.step_count + 1)
+    return d.replace_fields(
+        step_count=d.step_count + 1, clamped=d.clamped + n_clamped
+    )
 
 
 _DENSE_CACHE: dict = {}

@@ -275,3 +275,21 @@ def test_pallas_rebin_matches_xla_bit_exact():
         )
     assert int(a.dropped) == int(b.dropped)
     assert int(a.dropped) > 0  # the nudge must actually exercise overflow
+
+
+def test_vmax_clamp_counted():
+    """The rebin_vmax speed limit alters physics when it fires; hits must be
+    counted as loudly as `dropped` (DenseFluidState.clamped)."""
+    state, params, spec = small_2d(n=100)
+    params = params.replace(rebin_every=3, cell_factor=1.2)
+    d = pack(state, params, spec)
+    # Calm fluid: no clamps.
+    d1 = make_dense_step(params, spec, donate=False)(d)
+    assert int(d1.clamped) == 0
+    # Absurd velocities: every occupied lane must clamp (and be counted).
+    fast = d.replace_fields(
+        vx=jnp.where(d.occ > 0.5, 1e6, 0.0),
+        vy=jnp.where(d.occ > 0.5, -1e6, 0.0),
+    )
+    d2 = make_dense_step(params, spec, donate=False)(fast)
+    assert int(d2.clamped) == int(jnp.sum(d.occ))

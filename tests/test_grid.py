@@ -107,7 +107,8 @@ def test_grid_matches_bruteforce():
                        cell_capacity=32, spawn_radius=16.0)
     st = random_state(256, params)
     f_b, t_b = contact_forces_bruteforce(st, params)
-    f_g, t_g = contact_forces_grid(st, params)
+    f_g, t_g, ovf = contact_forces_grid(st, params)
+    assert int(ovf) == 0
     np.testing.assert_allclose(f_g, f_b, atol=1e-4)
     np.testing.assert_allclose(t_g, t_b, atol=1e-4)
 
@@ -118,7 +119,7 @@ def test_grid_matches_bruteforce_dense_clump():
                        cell_capacity=128, spawn_radius=16.0)
     st = random_state(128, params, seed=3, spread=3.0)
     f_b, t_b = contact_forces_bruteforce(st, params)
-    f_g, t_g = contact_forces_grid(st, params)
+    f_g, t_g, _ = contact_forces_grid(st, params)
     np.testing.assert_allclose(f_g, f_b, atol=1e-4)
     np.testing.assert_allclose(t_g, t_b, atol=1e-4)
 
@@ -127,10 +128,33 @@ def test_grid_row_blocking_consistent():
     params = SimParams(capacity=100, grid_dim=8, grid_cell_size=4.0,
                        cell_capacity=32, spawn_radius=16.0)
     st = random_state(100, params, seed=5)
-    f1, t1 = contact_forces_grid(st, params, row_block=100)
-    f2, t2 = contact_forces_grid(st, params, row_block=32)
+    f1, t1, _ = contact_forces_grid(st, params, row_block=100)
+    f2, t2, _ = contact_forces_grid(st, params, row_block=32)
     np.testing.assert_allclose(f1, f2, atol=1e-6)
     np.testing.assert_allclose(t1, t2, atol=1e-6)
+
+
+def test_grid_overflow_surfaced_in_sim_state():
+    """Mirror of test_contact.py's dense-overflow test for the grid path:
+    a deliberately tiny cell_capacity must surface a non-zero count in
+    SimState.overflow after a step (VERDICT r2: the grid path previously
+    computed bins.overflow and then discarded it)."""
+    from sph_tpu.engine.step import make_step_fn
+    from sph_tpu.engine.config import reference_genome, reference_scene_params
+    from sph_tpu.core.init import init_particles
+
+    genome = reference_genome()
+    params = reference_scene_params(capacity=32).replace(
+        neighbor_mode="grid", cell_capacity=1, max_splits_per_step=4,
+        max_bonds=16,
+    )
+    gd = genome.to_device()
+    st = init_particles(params, gd, n_modes=1, initial_mode=0, capacity=32,
+                        active_count=32)
+    # Pile everyone into one cell so K=1 must overflow.
+    st = st.replace_fields(pos=st.pos * 0.01)
+    st = make_step_fn(params, donate=False)(st, gd)
+    assert int(st.overflow) >= 31
 
 
 def test_full_step_grid_vs_bruteforce():
