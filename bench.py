@@ -14,10 +14,26 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _rate_stats(rates: list[float], n: int) -> dict:
+    """Best AND median steps/s over timing windows: the relay's window
+    variance (~1.6×, BASELINE.md) makes a best-of-N headline alone
+    unfalsifiable; the median pins the distribution."""
+    best = max(rates)
+    med = statistics.median(rates)
+    return {
+        "steps_per_sec": round(best, 2),
+        "steps_per_sec_median": round(med, 2),
+        "n_particles": n,
+        "particle_steps_per_sec": round(best * n, 0),
+        "particle_steps_per_sec_median": round(med * n, 0),
+    }
 
 
 def _bench_dense(n_target: int, steps: int = 60, substeps: int = 15,
@@ -34,24 +50,21 @@ def _bench_dense(n_target: int, steps: int = 60, substeps: int = 15,
     N = state.pos.shape[0]
     d = pack(state, params, spec)
     f = make_dense_step(params, spec, substeps=substeps, donate=True)
-    red = jax.jit(lambda s: (jnp.sum(s.occ), s.dropped))
+    red = jax.jit(lambda s: (jnp.sum(s.occ), s.dropped, s.clamped))
     d = f(d)
-    n_alive, dropped = (float(x) for x in red(d))  # sync + warm
-    best = 0.0
+    _ = [float(x) for x in red(d)]  # sync + warm
+    rates = []
     rounds = max(1, steps // substeps)
     for _ in range(rounds):
         t0 = time.perf_counter()
         d = f(d)
         _ = [float(x) for x in red(d)]
-        best = max(best, substeps / (time.perf_counter() - t0))
-    n_alive, dropped = (float(x) for x in red(d))
-    return {
-        "steps_per_sec": round(best, 2),
-        "n_particles": N,
-        "particle_steps_per_sec": round(best * N, 0),
-        "alive": int(n_alive),
-        "dropped": int(dropped),
-    }
+        rates.append(substeps / (time.perf_counter() - t0))
+    n_alive, dropped, clamped = (float(x) for x in red(d))
+    out = _rate_stats(rates, N)
+    out.update(alive=int(n_alive), dropped=int(dropped),
+               clamped=int(clamped))
+    return out
 
 
 def _bench_2d_bruteforce(n_target: int, steps: int = 20):
@@ -85,75 +98,66 @@ def _bench_2d_dense(n_target: int, steps: int = 60, substeps: int = 30):
     N = state.pos.shape[0]
     d = pack(state, params, spec)
     f = make_dense_step(params, spec, substeps=substeps, donate=True)
-    red = jax.jit(lambda s: (jnp.sum(s.occ), s.dropped))
+    red = jax.jit(lambda s: (jnp.sum(s.occ), s.dropped, s.clamped))
     d = f(d)
     _ = [float(x) for x in red(d)]
-    best = 0.0
+    rates = []
     for _i in range(max(1, steps // substeps)):
         t0 = time.perf_counter()
         d = f(d)
         _ = [float(x) for x in red(d)]
-        best = max(best, substeps / (time.perf_counter() - t0))
-    n_alive, dropped = (float(x) for x in red(d))
-    return {"steps_per_sec": round(best, 2), "n_particles": N,
-            "particle_steps_per_sec": round(best * N, 0),
-            "alive": int(n_alive), "dropped": int(dropped)}
+        rates.append(substeps / (time.perf_counter() - t0))
+    n_alive, dropped, clamped = (float(x) for x in red(d))
+    out = _rate_stats(rates, N)
+    out.update(alive=int(n_alive), dropped=int(dropped),
+               clamped=int(clamped))
+    return out
 
 
 def _bench_cells(n: int, steps: int = 60, chunk: int = 30,
-                 neighbor_mode: str = "grid"):
-    """Biology/contact regime on the CURRENT backend: a prepopulated cell
-    colony (contact + rotation + adhesion machinery + division bookkeeping,
-    the reference's full frame) stepped via lax.scan chunks. The neighbor
-    engine is the sort+gather grid (ops/grid.py) — gather-bound on TPU
-    (~1 GB/s effective random-gather bandwidth, BASELINE.md), which this rung
-    exists to measure honestly; the dense lane-roll engine is the fluid
-    regime's answer (sph/dense.py)."""
-    from sph_tpu.engine.config import reference_genome, reference_scene_params
+                 neighbor_mode: str = "dense"):
+    """Biology/contact regime on the CURRENT backend: a BONDED settled
+    colony (contact sweep + rotation + adhesion constraints + bond pruning
+    + division bookkeeping — the reference's full frame on its own steady
+    state: cells at the genome's adhesion rest length, every cell bonded to
+    its lattice neighbors as division leaves them, CAM:504-509) stepped via
+    lax.scan chunks. 'dense' = the colony-specced [Z, Y, X·K] lane engine
+    (physics/contact_dense.py, k=2: jitter 0.35 keeps per-axis neighbor
+    separation ≥ 2.96 − 0.7 > the 2.1 cell, so ≤ 2 centers/cell and
+    overflow stays 0); 'grid' = the sort+gather engine, kept as the honest
+    gather-path ceiling (~1 GB/s random-gather bandwidth, BASELINE.md)."""
+    from sph_tpu.engine.colony import bonded_colony
 
     from sph_tpu import Simulation
 
-    # Volume fraction ~40% (a packed colony — the adhered-clump regime the
-    # reference grows): R = r·(N/0.4)^(1/3); grid cell = 2·r (covers the
-    # contact range r_i/2 + r_j/2 = r·1), dims sized to the spawn sphere.
-    # dense_k=4: cell centers sit ~2r apart at this packing, so a
-    # contact-range cell rarely holds >2 centers (overflow stays counted).
-    r = 2.0
-    R = float(r * (n / 0.4) ** (1.0 / 3.0))
-    cell = 2.0 * r
-    dim = int(-(-2.0 * R // cell))
-    params = reference_scene_params(
-        capacity=n, spawn_radius=R, neighbor_mode=neighbor_mode,
-        grid_dim=dim, grid_cell_size=cell, cell_capacity=16,
-        max_splits_per_step=64, max_bonds=256,
-        dense_k=4, use_pallas=(neighbor_mode == "dense"),
+    state, params, genome = bonded_colony(
+        n,
+        neighbor_mode=neighbor_mode,
+        grid_dim=48, grid_cell_size=4.0, cell_capacity=16,
+        max_splits_per_step=64,
+        dense_k=2, use_pallas=(neighbor_mode == "dense"),
     )
-    sim = Simulation(
-        reference_genome(), params, auto_grow=False, scan_chunk=chunk
-    )
-    from sph_tpu.core.init import init_particles
-
-    sim.state = init_particles(
-        params, sim.genome_dev, n_modes=len(sim.genome.modes),
-        initial_mode=sim.genome.initial_mode_index, capacity=n,
-        active_count=n,
-    )
+    sim = Simulation(genome, params, auto_grow=False, scan_chunk=chunk)
+    sim.state = state
     # Relay-safe timing: block_until_ready can return early through the
     # axon tunnel — fetch one small scalar to force execution.
     sync = lambda: float(jnp.sum(sim.state.pos[0]))  # noqa: E731
     sim.step(chunk)  # warm + compile
     sync()
-    best = 0.0
+    rates = []
     for _ in range(max(1, steps // chunk)):
         t0 = time.perf_counter()
         sim.step(chunk)
         sync()
-        best = max(best, chunk / (time.perf_counter() - t0))
-    return {"steps_per_sec": round(best, 2), "n_particles": n,
-            "particle_steps_per_sec": round(best * n, 0),
-            "neighbor_mode": neighbor_mode,
-            "cell_overflow": int(sim.state.overflow),
-            "backend": jax.default_backend()}
+        rates.append(chunk / (time.perf_counter() - t0))
+    out = _rate_stats(rates, n)
+    out.update(
+        neighbor_mode=neighbor_mode,
+        bonds=int(jnp.sum(sim.state.bonds.active)),
+        cell_overflow=int(sim.state.overflow),
+        backend=jax.default_backend(),
+    )
+    return out
 
 
 def _verify_on_chip() -> str:

@@ -56,12 +56,35 @@ def update_bond_zones(
     (CAM:377-402)."""
     b = state.bonds
     N = state.capacity
+    young = b.active & (state.step_count <= b.created_step + 1)
+    # Settled steps have no young bonds — skip the endpoint gathers and
+    # quaternion math entirely (this pass only ever writes young rows).
+    return jax.lax.cond(
+        jnp.any(young),
+        lambda: _update_young_bond_zones(state, params, genome, young),
+        lambda: b,
+    )
+
+
+def _update_young_bond_zones(
+    state: SimState, params: SimParams, genome: GenomeDevice, young
+) -> BondTable:
+    b = state.bonds
+    N = state.capacity
     idx_a = jnp.clip(b.slot_a, 0, N - 1)
     idx_b = jnp.clip(b.slot_b, 0, N - 1)
-    young = b.active & (state.step_count <= b.created_step + 1)
 
-    pos_a, pos_b = state.pos[idx_a], state.pos[idx_b]
-    rot_a, rot_b = state.rot[idx_a], state.rot[idx_b]
+    # One wide-row gather per endpoint (descriptor-bound path, see
+    # filter_bonds).
+    tbl = jnp.concatenate(
+        [state.pos, state.rot,
+         state.mode.astype(jnp.float32)[:, None]], axis=1,
+    )                                                     # [N, 8]
+    ga, gb = tbl[idx_a], tbl[idx_b]
+    pos_a, rot_a = ga[:, 0:3], ga[:, 3:7]
+    pos_b, rot_b = gb[:, 0:3], gb[:, 3:7]
+    mode_a_raw = ga[:, 7].astype(jnp.int32)
+    mode_b_raw = gb[:, 7].astype(jnp.int32)
 
     # Anchors at creation_step + 1 (CAM:377-402), radius hardcoded to 1.0.
     set_anchors = young & (state.step_count == b.created_step + 1) & ~b.anchors_set
@@ -77,8 +100,8 @@ def update_bond_zones(
 
     # Zone reclassification from each endpoint's mode split direction.
     n_modes = jnp.maximum(genome.n_modes, 1)
-    mode_a = jnp.clip(state.mode[idx_a], 0, n_modes - 1)
-    mode_b = jnp.clip(state.mode[idx_b], 0, n_modes - 1)
+    mode_a = jnp.clip(mode_a_raw, 0, n_modes - 1)
+    mode_b = jnp.clip(mode_b_raw, 0, n_modes - 1)
     zone_a_new = classify_zone(
         pos_a, rot_a, pos_b,
         genome.parent_split_yaw[mode_a], genome.parent_split_pitch[mode_a],
@@ -98,53 +121,72 @@ def update_bond_zones(
     )
 
 
-def _endpoint_removals(
-    slot, zone, other_slot, dist, eligible, mixed, n_capacity: int
-):
-    """One side of FilterBonds (CAM:184-243): among eligible bonds grouped by
-    (endpoint slot, endpoint zone), mark everything but the shortest for
-    removal; groups containing any C↔(A|B) bond are exempt."""
-    B = slot.shape[0]
-    n_keys = n_capacity * 3 + 1
-    key = jnp.where(eligible, jnp.clip(slot, 0, n_capacity - 1) * 3 + zone, n_keys - 1)
-
-    count = jax.ops.segment_sum(
-        eligible.astype(jnp.int32), key, num_segments=n_keys
-    )
-    group_mixed = jax.ops.segment_max(
-        (eligible & mixed).astype(jnp.int32), key, num_segments=n_keys
-    )
-    d = jnp.where(eligible, dist, jnp.inf)
-    min_dist = jax.ops.segment_min(d, key, num_segments=n_keys)
-    is_min = eligible & (d <= min_dist[key])
-    idx = jnp.arange(B)
-    min_idx = jax.ops.segment_min(
-        jnp.where(is_min, idx, B), key, num_segments=n_keys
-    )
-    return (
-        eligible
-        & (count[key] > 1)
-        & (group_mixed[key] == 0)
-        & (idx != min_idx[key])
-    )
-
-
 def filter_bonds(state: SimState) -> BondTable:
-    """FilterBonds (CAM:184-243): union of removals from the A-end and B-end
-    groupings; bonds created this step are exempt; ties keep the lowest bond
-    index (the reference's stable OrderBy keeps list order)."""
+    """FilterBonds (CAM:184-243): among eligible bonds grouped by (endpoint
+    slot, endpoint zone), everything but the geometrically shortest is
+    removed (union of the A-end and B-end verdicts); groups containing any
+    C↔(A|B) bond are exempt; bonds created this step are exempt; ties keep
+    the lowest bond index (the reference's stable OrderBy keeps list order).
+
+    Structured for the TPU's descriptor-bound gather/scatter path (measured
+    ~13× between per-column and wide-row gathers at bench scale): both
+    endpoints ride one [2B] key vector, per-group stats are one row
+    segment-sum + two segment-mins, and the per-bond lookbacks are two
+    8-wide row gathers instead of eight column gathers."""
     b = state.bonds
     N = state.capacity
+    B = b.capacity
     idx_a = jnp.clip(b.slot_a, 0, N - 1)
     idx_b = jnp.clip(b.slot_b, 0, N - 1)
     eligible = b.active & (b.created_step < state.step_count)
-    dist = jnp.linalg.norm(state.pos[idx_b] - state.pos[idx_a], axis=-1)
+
+    ptbl = jnp.concatenate(
+        [state.pos, jnp.zeros((N, 1), jnp.float32)], axis=1
+    )                                                     # [N, 4]
+    dist = jnp.linalg.norm(
+        ptbl[idx_b][:, :3] - ptbl[idx_a][:, :3], axis=-1
+    )
     mixed = ((b.zone_a == ZONE_C) & (b.zone_b != ZONE_C)) | (
         (b.zone_a != ZONE_C) & (b.zone_b == ZONE_C)
     )
-    rm_a = _endpoint_removals(b.slot_a, b.zone_a, b.slot_b, dist, eligible, mixed, N)
-    rm_b = _endpoint_removals(b.slot_b, b.zone_b, b.slot_a, dist, eligible, mixed, N)
-    return b.replace_fields(active=b.active & ~(rm_a | rm_b))
+
+    n_keys = N * 3 + 1
+    key_a = jnp.where(eligible, idx_a * 3 + b.zone_a, n_keys - 1)
+    key_b = jnp.where(eligible, idx_b * 3 + b.zone_b, n_keys - 1)
+    keys = jnp.concatenate([key_a, key_b])                # [2B]
+    elig2 = jnp.concatenate([eligible, eligible])
+    mixed2 = jnp.concatenate([mixed, mixed])
+    d2 = jnp.where(elig2, jnp.concatenate([dist, dist]), jnp.inf)
+    idx2 = jnp.concatenate([jnp.arange(B), jnp.arange(B)])
+
+    cm = jax.ops.segment_sum(
+        jnp.stack([elig2, elig2 & mixed2], -1).astype(jnp.int32),
+        keys, num_segments=n_keys,
+    )                                                     # [K, 2]
+    min_dist = jax.ops.segment_min(d2, keys, num_segments=n_keys)
+    stats = jnp.concatenate(
+        [cm.astype(jnp.float32), min_dist[:, None],
+         jnp.zeros((n_keys, 5), jnp.float32)], axis=1,
+    )                                                     # [K, 8]
+    g = stats[keys]                                       # [2B, 8] row gather
+    count_k, mixed_k, min_d_k = g[:, 0], g[:, 1], g[:, 2]
+
+    is_min = elig2 & (d2 <= min_d_k)
+    min_idx = jax.ops.segment_min(
+        jnp.where(is_min, idx2, B), keys, num_segments=n_keys
+    )
+    # f32 carries bond indices exactly up to 2^24 — far above any max_bonds.
+    itbl = jnp.concatenate(
+        [min_idx[:, None].astype(jnp.float32),
+         jnp.zeros((n_keys, 7), jnp.float32)], axis=1,
+    )
+    min_idx_k = itbl[keys][:, 0]
+    rm2 = (
+        elig2 & (count_k > 1) & (mixed_k == 0)
+        & (idx2.astype(jnp.float32) != min_idx_k)
+    )
+    rm = rm2[:B] | rm2[B:]
+    return b.replace_fields(active=b.active & ~rm)
 
 
 def handle_cell_split(

@@ -48,7 +48,27 @@ def queue_splits(
     # Timers reset for every ready cell, queued or not (cs:682).
     timer = jnp.where(ready, 0.0, timer)
 
-    # Split geometry (SplitCell, cs:729-778).
+    # Quiet-step fast path: split geometry (quaternion frames, look
+    # rotations) and the 11 pack-scatters only run when some cell is ready —
+    # between divisions (split_interval spans many dt steps) the pass is
+    # just the timer advance above.
+    def no_splits(_):
+        return PendingSplits.empty(S)
+
+    def build(_):
+        return _build_pending(state, params, genome, queued, rank, mode_c, S)
+
+    pending = jax.lax.cond(jnp.any(ready), build, no_splits, None)
+    return state.replace_fields(split_timer=timer, pending=pending)
+
+
+def _build_pending(state, params, genome, queued, rank, mode_c, S):
+    """Split geometry + dense packing for the queued cells (SplitCell,
+    cs:729-778)."""
+    N = state.capacity
+    slots = jnp.arange(N)
+    n_modes = genome.n_modes
+
     mode_row = mode_c
     # Child modes: -1 or out-of-range ⇒ inherit parent (cs:742-747).
     def child_mode(child_idx):
@@ -100,7 +120,7 @@ def queue_splits(
         return padded.at[target].set(per_particle)[:S]
 
     p0 = PendingSplits.empty(S)
-    pending = PendingSplits(
+    return PendingSplits(
         count=jnp.sum(queued).astype(jnp.int32),
         parent_slot=pack(slots.astype(jnp.int32), p0.parent_slot),
         pos_a=pack(pos_a, p0.pos_a),
@@ -113,7 +133,6 @@ def queue_splits(
         mode_b=pack(mode_b.astype(jnp.int32), p0.mode_b),
         parent_mode=pack(mode_row.astype(jnp.int32), p0.parent_mode),
     )
-    return state.replace_fields(split_timer=timer, pending=pending)
 
 
 def process_pending_splits(
@@ -187,5 +206,13 @@ def process_pending_splits(
         )
         return st, None
 
-    state, _ = jax.lax.scan(body, state, jnp.arange(S, dtype=jnp.int32))
+    def run(st):
+        out, _ = jax.lax.scan(body, st, jnp.arange(S, dtype=jnp.int32))
+        return out
+
+    # Most steps apply zero splits (the genome's split_interval spans many
+    # dt steps); the scan body is then a pure identity, so skip the whole
+    # S-iteration scan — its per-iteration scatters over every [N] array
+    # and the bond-table argsort dominate quiet-frame cost at colony scale.
+    state = jax.lax.cond(state.pending.count > 0, run, lambda st: st, state)
     return state.replace_fields(pending=PendingSplits.empty(S))

@@ -206,13 +206,15 @@ class SimParams:
     grid_dim: int = 32
     grid_cell_size: float = 4.0
     # Neighbor algorithm: "bruteforce" | "grid" | "dense"
-    # ("dense" = the fused lane-roll engine shared with the fluid path —
-    # the TPU-fast contact regime, physics/contact_dense.py)
+    # ("dense" = the colony-specced [Z, Y, X·K] lane engine — the TPU-fast
+    # contact regime, physics/contact_dense.py)
     neighbor_mode: str = "bruteforce"
     # Max particles binned per grid cell (grid mode; overflow is counted).
     cell_capacity: int = 32
     # Dense mode: slots per cell and cell-size factor (× max_radius).
-    dense_k: int = 8
+    # k=2 suits settled colonies (~0.1 centers per contact-range cell;
+    # sweep cost scales with k² — overflow is counted if a cell exceeds k).
+    dense_k: int = 2
     dense_cell_factor: float = 1.05
     # Dense mode: run the Pallas kernels (False = the XLA twin).
     use_pallas: bool = False

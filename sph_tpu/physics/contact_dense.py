@@ -1,28 +1,34 @@
-"""Contact forces on the dense lane-roll engine — the biology regime's
-TPU-fast path.
+"""Contact forces on the colony-specced dense [Z, Y, X·K] layout — the
+biology regime's TPU-fast path.
 
 The sort+gather grid (ops/grid.py) is gather-bound on TPU (~1 GB/s
-effective random-gather bandwidth, BASELINE.md); this module runs the SAME
-contact model (pair math shared conceptually with physics.contact's
-re-specification of SimulateParticles.compute:211-309) on the fused dense
-layout of sph/dense.py, where pair enumeration is rolls/slices at HBM
-speed. "Two force regimes behind one architecture" (SURVEY §0): the fluid
-and contact regimes now share the sweep machinery, spec geometry, Pallas
-kernels and rebin-free in-jit packing below.
+effective random-gather bandwidth, BASELINE.md). Round 2 ran the contact
+model on the fluid's fused [Z, K(sublanes), Y·X(lanes)] engine; that layout
+is wrong for colonies: a settled colony packs ~0.1 cell-centers per
+contact-range cell, so small k is mandatory — but Mosaic pads the sublane
+dim to 8, making k<8 arrays cost exactly like k=8 (4x waste at k=2), and
+the Newton mirror machinery emits 5 part arrays per component (30 full-size
+outputs for force+torque). This round's colony engine fixes both:
 
-Unlike the fluid (persistent dense state + staged rebin), the cell sim
-keeps the flat SimState as the source of truth — division, adhesion and
-rendering all index slots — and packs into the dense layout PER CALL, all
+- Layout [Z(cells), Y(cells, sublanes), X·K(lanes)]: slot lanes ride the
+  minor axis next to their x-cell, so ANY k runs at full vector width; the
+  y stencil is a sublane offset (free), the z stencil a plane offset, and
+  (dx, slot) collapse into one lane offset o = dx·K + dm.
+- FULL-stencil own-only sweep (no Newton halving): every lane accumulates
+  its own force AND its own torque (own contact arm, compute:282-294)
+  directly — 6 outputs, no mirror folding, no combine rolls. At colony
+  occupancy the halved sweep's saved pair math is smaller than its mirror
+  output traffic.
+- Lane offsets o ∈ ±[1, 2K−1] cover every (dx ∈ {−1,0,1}, dm) partner;
+  offsets that spill into dx = ±2 cells self-reject arithmetically
+  (cell ≥ contact reach ⇒ their distance ≥ reach ⇒ overlap ≤ 0 < ε).
+  Sentinel margins make every wrap (lane, sublane, plane) inert.
+
+Like round 2, the flat SimState stays the source of truth — division,
+adhesion and rendering index slots — and packing happens PER CALL, all
 inside jit: cell id → argsort → rank → one scatter in, one gather out.
-At cell-sim scales (≤ ~300k) the sort+scatter costs a few ms and the pair
-sweep dominates, which is the point.
-
-Newton halving with EXPLICIT mirrors: the repulsion force mirrors as the
-exact negation, but the rolling-friction torque's lever arm is the
-partner's contact radius (compute:282-284 uses the OWN radius on each
-side), so the mirror torque is the shared cross-product base scaled by the
-partner's arm — pair_fn returns (force, torque_own, torque_partner·) and
-the sweep folds mirrors without a sign flip.
+Pair math: same model as physics.contact.pair_contact (re-specification of
+SimulateParticles.compute:211-309).
 """
 
 from __future__ import annotations
@@ -31,51 +37,93 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sph_tpu.core.types import SimParams, SimState
-from sph_tpu.sph.dense import (
-    SENTINEL,
-    DenseSpec,
-    _sweep_xla,
-    combine_mirror_parts,
-)
+from sph_tpu.sph.dense import SENTINEL
 
 
-def make_contact_spec(params: SimParams, k: int = 8,
-                      cell_factor: float = 1.05) -> DenseSpec:
-    """Dense-grid geometry for the contact regime.
+@dataclass(frozen=True)
+class ContactSpec:
+    """Static colony-grid geometry for the [Z, Y, X·K] layout.
 
-    Interaction reach is eff_i + eff_j ≤ max_radius (contact radii are half
-    the visual radius, compute:225), so cell ≥ max_radius makes the ±1
-    stencil complete. Domain: the spawn sphere [-R, R]³ plus the margin
-    ring (reference grid precedent: SimulateParticles.compute:16-18,
-    102-105, which clamps everything into a 32³×4.0 box)."""
+    nz/ny/nx count cells INCLUDING the one-cell sentinel margin ring;
+    ny is padded to a multiple of 8 (sublanes) and nx to make
+    L = nx·k a multiple of 128 (full lanes) — pad cells are sentinel.
+    """
+
+    nz: int
+    ny: int
+    nx: int            # real cells along x (incl. margins)
+    nx_pad: int        # padded row length in cells
+    k: int             # slots per cell
+    cell: float        # cell edge ≥ contact reach (max_radius)
+    origin: tuple[float, float, float]  # world corner of cell (0,0,0)
+
+    @property
+    def L(self) -> int:
+        """Lane-axis length: nx_pad cells × k slots."""
+        return self.nx_pad * self.k
+
+    @property
+    def slots(self) -> int:
+        return self.nz * self.ny * self.L
+
+    def shape(self) -> tuple[int, int, int]:
+        return (self.nz, self.ny, self.L)
+
+
+def make_contact_spec(params: SimParams, k: int = 2,
+                      cell_factor: float = 1.05) -> ContactSpec:
+    """Colony-grid geometry. Interaction reach is eff_i + eff_j ≤
+    max_radius (contact radii are half the visual radius, compute:225), so
+    cell ≥ max_radius makes the ±1 stencil complete. Domain: the spawn
+    sphere [-R, R]³ plus the margin ring (reference grid precedent:
+    SimulateParticles.compute:16-18, 102-105)."""
     cell = float(params.max_radius) * cell_factor
     r = float(params.spawn_radius)
-    n_cells = max(1, int(-(-2.0 * r // cell))) + 2    # + margin ring
+    n = max(1, int(-(-2.0 * r // cell))) + 2    # + margin ring
     origin = (-r - cell, -r - cell, -r - cell)
 
-    n0 = n_cells
-    n1 = -(-n_cells // 8) * 8 if n_cells <= 8 else -(-n_cells // 32) * 32
-    lane_mult = max(1, 128 // k)
-    n2 = -(-n_cells // lane_mult) * lane_mult
-    return DenseSpec(
-        n0=n0, n1=n1, n2=n2, k=k, cell=cell, origin=origin,
-        ndim=3, axis_map=(0, 1, 2), stencil0=True, stencil1=True,
-    )
+    ny = -(-n // 8) * 8
+    lane_q = 128 // _gcd(k, 128)        # nx_pad multiple ⇒ L % 128 == 0
+    nx_pad = -(-n // lane_q) * lane_q
+    return ContactSpec(nz=n, ny=ny, nx=n, nx_pad=nx_pad, k=k, cell=cell,
+                       origin=origin)
+
+
+def _gcd(a: int, b: int) -> int:
+    import math
+
+    return math.gcd(a, b)
+
+
+def contact_variants(spec: ContactSpec):
+    """The full-stencil variant list [(dz, dy, o)]: lane offsets
+    o ∈ ±[1, 2K−1] plus o = 0 for off-cell (dz, dy); the (0,0,0) self pair
+    is excluded. Shared by the XLA twin and the Pallas kernel — SAME ORDER,
+    so the per-lane accumulation order is identical by construction."""
+    K = spec.k
+    out = []
+    for o in range(-(2 * K - 1), 2 * K):
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if o == 0 and dz == 0 and dy == 0:
+                    continue
+                out.append((dz, dy, o))
+    return out
 
 
 def contact_pair_terms(params: SimParams,
                        cx, cy, cz, cvx, cvy, cvz, cox, coy, coz, crad,
                        qx, qy, qz, qvx, qvy, qvz, qox, qoy, qoz, qrad):
-    """One candidate pair's (force_own[3], torque_own[3], force_mirror[3],
-    torque_mirror[3]) — 12 components, explicit-mirror layout.
+    """One candidate pair's own-side (force[3], torque[3]) — 6 components.
 
     Same model as physics.contact.pair_contact (compute:211-309): overlap
     repulsion with falloff², rolling-friction torque from relative surface
-    velocity. Sentinel partners self-reject via the overlap test; the self
-    pair never appears (group A skips m=0)."""
+    velocity, own contact arm eff_i (compute:282-284 uses each side's OWN
+    radius — the full-stencil sweep computes each side independently, so no
+    explicit partner-torque mirror is needed). Sentinel partners self-reject
+    via the overlap test."""
     eff_i = crad * 0.5
     eff_j = qrad * 0.5
     dx = cx - qx
@@ -114,54 +162,55 @@ def contact_pair_terms(params: SimParams,
     torque_input = jnp.abs(slip * params.torque_factor)
     friction_mag = jnp.minimum(torque_input ** 1.25, 10.0)
 
-    # base = cross(u, f̂·mag)·falloff²·mult; τ_own = base·eff_i,
-    # τ_partner = base·eff_j (compute:282-294 — each side's own arm).
+    # τ_own = cross(u, f̂·mag)·falloff²·mult·eff_i (compute:282-294).
     scale = (
         overlap_falloff * overlap_falloff
         * params.rolling_contact_radius_multiplier
-        * friction_mag * slip_inv * slipping
+        * friction_mag * slip_inv * slipping * eff_i
     )
     bx = (uy * tz - uz * ty) * scale
     by = (uz * tx - ux * tz) * scale
     bz = (ux * ty - uy * tx) * scale
-    return (fx, fy, fz, bx * eff_i, by * eff_i, bz * eff_i,
-            -fx, -fy, -fz, bx * eff_j, by * eff_j, bz * eff_j)
+    return fx, fy, fz, bx, by, bz
 
 
-def _pack_args(state: SimState, spec: DenseSpec):
-    """In-jit pack: (fields [10][Z,K,C], occ, slot_of_particle, overflow)."""
+def _pack_args(state: SimState, spec: ContactSpec):
+    """In-jit pack: (fields [10][Z,Y,L], occ, slot_of_particle, overflow)."""
     N = state.capacity
     K = spec.k
-    C = spec.C
-    slots = spec.n0 * K * C
+    L = spec.L
+    slots = spec.slots
     alive = jnp.arange(N) < state.active_count
 
     org = jnp.asarray(spec.origin, jnp.float32)
-    wc = jnp.asarray(spec.world_cells(), jnp.int32)
+    dims = jnp.asarray((spec.nx, spec.ny, spec.nz), jnp.int32)
     cc = jnp.clip(((state.pos - org) / spec.cell).astype(jnp.int32),
-                  0, wc - 1)
-    i0 = cc[:, spec.axis_map[0]]
-    i1 = cc[:, spec.axis_map[1]]
-    i2 = cc[:, spec.axis_map[2]]
-    cid = (i0 * spec.n1 + i1) * spec.n2 + i2
-    cid = jnp.where(alive, cid, jnp.int32(spec.n0 * spec.n1 * spec.n2))
+                  0, dims - 1)
+    ix, iy, iz = cc[:, 0], cc[:, 1], cc[:, 2]
+    cid = (iz * spec.ny + iy) * spec.nx_pad + ix
+    cid = jnp.where(alive, cid, jnp.int32(spec.nz * spec.ny * spec.nx_pad))
 
     order = jnp.argsort(cid)                      # stable: ties by slot
     cid_s = cid[order]
-    starts = jnp.searchsorted(cid_s, cid_s)
-    rank = jnp.arange(N) - starts
+    # Rank within the cell run via cummax of run starts — searchsorted's
+    # binary-search gathers measured ~1 ms at 10k; this is ~free.
+    i = jnp.arange(N)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), cid_s[1:] != cid_s[:-1]]
+    )
+    starts = jax.lax.cummax(jnp.where(is_start, i, 0))
+    rank = i - starts
     fits = alive[order] & (rank < K)
     overflow = jnp.sum(alive[order] & ~fits)
 
-    c = i1[order] * spec.n2 + i2[order]
-    flat = i0[order] * (K * C) + rank * C + c     # [Z, K, C] flat index
+    flat = cid_s * K + rank                       # == (z·ny+y)·L + x·K + m
     flat = jnp.where(fits, flat, slots)
 
     def scatter(vals, fill):
         out = jnp.full(slots + 1, fill, jnp.float32).at[flat].set(
             jnp.where(fits, vals[order], fill)
         )
-        return out[:slots].reshape(spec.n0, K, C)
+        return out[:slots].reshape(spec.shape())
 
     px = scatter(state.pos[:, 0], SENTINEL)
     py = scatter(state.pos[:, 1], SENTINEL)
@@ -183,10 +232,35 @@ def _pack_args(state: SimState, spec: DenseSpec):
     return fields, occ, slot_of, overflow
 
 
+def _sweep_xla(fields, pair_fn, ncomp: int, spec: ContactSpec):
+    """XLA twin of the full-stencil own-only sweep: a lax.scan over the
+    contact_variants list (one variant per iteration, traced shifts), in
+    exactly the Pallas kernel's (o → dz → dy) order so the per-lane
+    accumulation order is identical by construction.
+
+    The scan (rather than an unrolled loop) is deliberate: the unrolled
+    ~60-variant roll graph took XLA:CPU 18 MINUTES to compile (measured);
+    the one-variant body compiles in seconds everywhere. The twin is the
+    correctness oracle — the Pallas kernel is the performance path — so the
+    scan's per-iteration overhead is irrelevant."""
+    shape = fields[0].shape
+    F = jnp.stack(fields)                                 # [nf, Z, Y, L]
+    variants = jnp.asarray(contact_variants(spec), jnp.int32)
+    zeros = [jnp.zeros(shape, jnp.float32) for _ in range(ncomp)]
+
+    def body(accs, v):
+        q = jnp.roll(F, (-v[0], -v[1], -v[2]), (1, 2, 3))
+        ts = pair_fn(*fields, *[q[i] for i in range(len(fields))])
+        return [a + t for a, t in zip(accs, ts)], None
+
+    accs, _ = jax.lax.scan(body, zeros, variants)
+    return accs
+
+
 def contact_forces_dense(state: SimState, params: SimParams,
-                         spec: DenseSpec | None = None):
+                         spec: ContactSpec | None = None):
     """Drop-in alternative to ops.grid.contact_forces_grid: per-particle
-    (force [N,3], torque [N,3], overflow) via the dense fused sweep.
+    (force [N,3], torque [N,3], overflow) via the dense full-stencil sweep.
 
     Same physics as contact_forces_bruteforce to float re-association
     tolerance (the dense sweep's pair order differs). Particles that
@@ -199,31 +273,17 @@ def contact_forces_dense(state: SimState, params: SimParams,
         )
     fields, occ, slot_of, overflow = _pack_args(state, spec)
 
-    use_pallas = getattr(params, "use_pallas", False)
     pair = lambda *a: contact_pair_terms(params, *a)  # noqa: E731
-    if use_pallas:
-        from sph_tpu.ops.pallas.fluid import _newton_call
+    if getattr(params, "use_pallas", False):
+        from sph_tpu.ops.pallas.contact import contact_sweep_pallas
 
-        own, m_row, m_cs = _newton_call(
-            fields, occ, spec, pair_fn=pair, ncomp=6, self_init=None,
-            sign=1, flops_per_lane=90 * 54, transc_per_lane=2 * 54,
-            explicit_mirror=True,
-        )
+        comps = contact_sweep_pallas(fields, occ, spec, pair, ncomp=6)
     else:
-        own, m_row, m_cs = _sweep_xla(
-            fields, pair, ncomp=6, self_init=None, spec=spec, sign=1,
-            explicit_mirror=True,
-        )
-    comps = [
-        combine_mirror_parts(
-            own[c], m_row[c] if m_row else None,
-            [ms[c] for ms in m_cs], spec, sign=1,
-        ).reshape(-1)
-        for c in range(6)
-    ]
-    N = state.capacity
-    idx = jnp.minimum(slot_of, comps[0].shape[0] - 1)
-    valid = (slot_of < comps[0].shape[0])[:, None].astype(jnp.float32)
-    force = jnp.stack([comps[0][idx], comps[1][idx], comps[2][idx]], -1)
-    torque = jnp.stack([comps[3][idx], comps[4][idx], comps[5][idx]], -1)
-    return force * valid, torque * valid, overflow
+        comps = _sweep_xla(fields, pair, ncomp=6, spec=spec)
+    # ONE row-gather back to particle order (6 separate gathers pay the
+    # random-access cost 6×).
+    table = jnp.stack([c.reshape(-1) for c in comps], axis=-1)  # [slots, 6]
+    idx = jnp.minimum(slot_of, table.shape[0] - 1)
+    valid = (slot_of < table.shape[0])[:, None].astype(jnp.float32)
+    ft = table[idx] * valid                                     # [N, 6]
+    return ft[:, :3], ft[:, 3:], overflow
