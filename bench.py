@@ -161,12 +161,14 @@ def _bench_cells(n: int, steps: int = 60, chunk: int = 30,
 
 
 def _verify_on_chip() -> str:
-    """Pallas-vs-XLA equality of density/accel/rebin ON THE CURRENT BACKEND
-    (the real TPU when run unmodified; tests only ever assert this in
-    interpreter mode on CPU). Pair kernels are compared at last-ulp
-    tolerance (XLA's FMA contraction is graph-shape-dependent — the twin
-    differs from itself jit-vs-eager); the rebin, pure data movement, is
-    compared bitwise. Returns 'ok' or a failure description."""
+    """Pallas-vs-XLA equality of density/accel/rebin AND the dense-contact
+    sweep ON THE CURRENT BACKEND (the real TPU when run unmodified; tests
+    only ever assert this in interpreter mode on CPU — Mosaic codegen
+    differences are exactly what interpret mode can't see). Pair kernels
+    are compared at last-ulp tolerance (XLA's FMA contraction is
+    graph-shape-dependent — the twin differs from itself jit-vs-eager);
+    the rebin, pure data movement, is compared bitwise. Returns 'ok' or a
+    failure description."""
     import numpy as np
 
     from sph_tpu.ops.pallas.fluid import accel_pallas, density_pallas
@@ -236,9 +238,48 @@ def _verify_on_chip() -> str:
                 err_msg=f,
             )
         assert int(a.dropped) == int(b.dropped)
+
+        # --- contact regime: Pallas [Z, Y, X·K] sweep vs XLA twin ---
+        from sph_tpu.core.types import SimParams, SimState
+        from sph_tpu.physics.contact_dense import contact_forces_dense
+
+        n = 400
+        cparams = SimParams(
+            capacity=n, spawn_radius=10.0, neighbor_mode="dense",
+            dense_k=4,
+        )
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+        u = jax.random.normal(k1, (n, 3))
+        u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+        r = 9.0 * jax.random.uniform(k2, (n, 1)) ** (1 / 3)
+        cst = SimState.zeros(n, cparams).replace_fields(
+            pos=u * r,
+            vel=jax.random.normal(k3, (n, 3)) * 0.5,
+            ang_vel=jax.random.normal(k1, (n, 3)) * 0.5,
+            radius=jnp.full(n, 2.0),
+            active_count=jnp.int32(n),
+        )
+        fx, tx, _ = jax.jit(
+            lambda s: contact_forces_dense(s, cparams)
+        )(cst)
+        fp, tp, _ = jax.jit(
+            lambda s: contact_forces_dense(
+                s, cparams.replace(use_pallas=True)
+            )
+        )(cst)
+        fs = float(jnp.abs(fx).max())
+        assert fs > 0
+        np.testing.assert_allclose(
+            np.asarray(fp), np.asarray(fx), rtol=1e-5, atol=1e-6 * fs,
+            err_msg="contact force",
+        )
+        np.testing.assert_allclose(
+            np.asarray(tp), np.asarray(tx), rtol=1e-5,
+            atol=1e-6 * float(jnp.abs(tx).max()), err_msg="contact torque",
+        )
     except AssertionError as e:
         return "FAIL: " + str(e).split("\n")[0][:120]
-    return f"ok ({jax.default_backend()})"
+    return f"ok ({jax.default_backend()}, incl. contact)"
 
 
 def _bench_4m_multichip():

@@ -122,8 +122,9 @@ def _update_young_bond_zones(
 
 
 def filter_bonds(state: SimState) -> BondTable:
-    """FilterBonds (CAM:184-243): among eligible bonds grouped by (endpoint
-    slot, endpoint zone), everything but the geometrically shortest is
+    """FilterBonds (CAM:184-243): eligible bonds are grouped per SIDE —
+    (cellA, zoneA) over A-ends, independently (cellB, zoneB) over B-ends —
+    and within each group everything but the geometrically shortest is
     removed (union of the A-end and B-end verdicts); groups containing any
     C↔(A|B) bond are exempt; bonds created this step are exempt; ties keep
     the lowest bond index (the reference's stable OrderBy keeps list order).
@@ -141,8 +142,8 @@ def filter_bonds(state: SimState) -> BondTable:
     eligible = b.active & (b.created_step < state.step_count)
 
     ptbl = jnp.concatenate(
-        [state.pos, jnp.zeros((N, 1), jnp.float32)], axis=1
-    )                                                     # [N, 4]
+        [state.pos, jnp.zeros((N, 5), jnp.float32)], axis=1
+    )                                                     # [N, 8] wide rows
     dist = jnp.linalg.norm(
         ptbl[idx_b][:, :3] - ptbl[idx_a][:, :3], axis=-1
     )
@@ -150,26 +151,36 @@ def filter_bonds(state: SimState) -> BondTable:
         (b.zone_a != ZONE_C) & (b.zone_b == ZONE_C)
     )
 
-    n_keys = N * 3 + 1
+    # The reference's A-end and B-end groupings are INDEPENDENT (CAM:192
+    # groups by (cellA, zoneA) over A-ends only, CAM:216 by (cellB, zoneB)
+    # over B-ends only) — a cell's A-side and B-side bonds never share a
+    # group. Side B gets a disjoint key range so one segment pass computes
+    # both groupings.
+    ns = N * 3
+    n_keys = 2 * ns + 1
     key_a = jnp.where(eligible, idx_a * 3 + b.zone_a, n_keys - 1)
-    key_b = jnp.where(eligible, idx_b * 3 + b.zone_b, n_keys - 1)
+    key_b = jnp.where(eligible, ns + idx_b * 3 + b.zone_b, n_keys - 1)
     keys = jnp.concatenate([key_a, key_b])                # [2B]
     elig2 = jnp.concatenate([eligible, eligible])
     mixed2 = jnp.concatenate([mixed, mixed])
     d2 = jnp.where(elig2, jnp.concatenate([dist, dist]), jnp.inf)
     idx2 = jnp.concatenate([jnp.arange(B), jnp.arange(B)])
 
-    cm = jax.ops.segment_sum(
-        jnp.stack([elig2, elig2 & mixed2], -1).astype(jnp.int32),
-        keys, num_segments=n_keys,
-    )                                                     # [K, 2]
+    # A singleton group's min is the bond itself, so the idx≠min test
+    # already spares it — no count column needed. Mixed presence folds into
+    # a segment_min too (0 if any mixed, via 1−mixed), so the per-group
+    # stats are two mins + one masked idx-min, folded into ONE 8-wide table
+    # the per-entry lookback reads with a single row gather.
     min_dist = jax.ops.segment_min(d2, keys, num_segments=n_keys)
+    no_mixed = jax.ops.segment_min(
+        jnp.where(elig2 & mixed2, 0.0, 1.0), keys, num_segments=n_keys
+    )
     stats = jnp.concatenate(
-        [cm.astype(jnp.float32), min_dist[:, None],
-         jnp.zeros((n_keys, 5), jnp.float32)], axis=1,
+        [min_dist[:, None], no_mixed[:, None],
+         jnp.zeros((n_keys, 6), jnp.float32)], axis=1,
     )                                                     # [K, 8]
     g = stats[keys]                                       # [2B, 8] row gather
-    count_k, mixed_k, min_d_k = g[:, 0], g[:, 1], g[:, 2]
+    min_d_k, no_mixed_k = g[:, 0], g[:, 1]
 
     is_min = elig2 & (d2 <= min_d_k)
     min_idx = jax.ops.segment_min(
@@ -182,7 +193,7 @@ def filter_bonds(state: SimState) -> BondTable:
     )
     min_idx_k = itbl[keys][:, 0]
     rm2 = (
-        elig2 & (count_k > 1) & (mixed_k == 0)
+        elig2 & (no_mixed_k > 0.5)
         & (idx2.astype(jnp.float32) != min_idx_k)
     )
     rm = rm2[:B] | rm2[B:]

@@ -69,22 +69,33 @@ def _steady_state_prune(pairs, pos, zone_a, zone_b):
     adhesion and pruning passes are gather-bound, so table CAPACITY is
     what they cost."""
     B = len(pairs)
+    if B == 0:
+        return pairs
     ia, ib = pairs[:, 0], pairs[:, 1]
-    dist = np.linalg.norm(pos[ib] - pos[ia], axis=-1)
+    # f32 like the device (tie structure must match filter_bonds).
+    dist = np.linalg.norm(
+        (pos[ib] - pos[ia]).astype(np.float32), axis=-1
+    ).astype(np.float32)
     mixed = (zone_a == ZONE_C) != (zone_b == ZONE_C)
-    rm = np.zeros(B, bool)
-    for slot, zone in ((ia, zone_a), (ib, zone_b)):
-        key = slot.astype(np.int64) * 3 + zone
-        n_keys = int(key.max()) + 1 if B else 1
-        gmixed = np.zeros(n_keys, bool)
-        np.logical_or.at(gmixed, key, mixed)
-        count = np.bincount(key, minlength=n_keys)
-        order = np.lexsort((np.arange(B), dist, key))  # ties: lowest index
-        k_s = key[order]
-        first = np.r_[True, k_s[1:] != k_s[:-1]] if B else np.zeros(0, bool)
-        rm_side = np.zeros(B, bool)
-        rm_side[order] = ~first & ~gmixed[k_s] & (count[k_s] > 1)
-        rm |= rm_side
+    # Per-SIDE key spaces, as the reference groups (CAM:192 by (cellA,
+    # zoneA) over A-ends; CAM:216 by (cellB, zoneB) over B-ends,
+    # independently) — exactly filter_bonds' disjoint key_a/key_b ranges.
+    off = 3 * np.int64(len(pos))
+    keys = np.concatenate(
+        [ia.astype(np.int64) * 3 + zone_a,
+         off + ib.astype(np.int64) * 3 + zone_b]
+    )
+    d2 = np.concatenate([dist, dist])
+    idx2 = np.concatenate([np.arange(B), np.arange(B)])
+    m2 = np.concatenate([mixed, mixed])
+    gmix = np.zeros(int(keys.max()) + 1, bool)
+    np.logical_or.at(gmix, keys, m2)
+    order = np.lexsort((idx2, d2, keys))   # key, then dist, ties lowest idx
+    ks = keys[order]
+    first = np.r_[True, ks[1:] != ks[:-1]]
+    rm2 = np.zeros(2 * B, bool)
+    rm2[order] = ~first & ~gmix[ks]
+    rm = rm2[:B] | rm2[B:]
     return pairs[~rm]
 
 
@@ -123,10 +134,20 @@ def bonded_colony(
     R = float(np.linalg.norm(pos, axis=-1).max())
 
     pairs = _neighbor_bonds(pos, spacing)
-    ia, ib = pairs[:, 0], pairs[:, 1]
-    d0 = pos[ib] - pos[ia]
-    d0 = d0 / np.maximum(np.linalg.norm(d0, axis=-1, keepdims=True), 1e-12)
-    pairs = _steady_state_prune(pairs, pos, _classify(d0), _classify(-d0))
+    # Iterate to FilterBonds' fixed point (removals can cascade: pruning a
+    # group's min from its other endpoint exposes a new min next pass) so
+    # the device table is seeded at its true steady-state size — the
+    # adhesion/pruning passes cost table CAPACITY.
+    while True:
+        ia, ib = pairs[:, 0], pairs[:, 1]
+        d0 = pos[ib] - pos[ia]
+        d0 = d0 / np.maximum(
+            np.linalg.norm(d0, axis=-1, keepdims=True), 1e-12
+        )
+        kept = _steady_state_prune(pairs, pos, _classify(d0), _classify(-d0))
+        if len(kept) == len(pairs):
+            break
+        pairs = kept
     nb = len(pairs)
     max_bonds = param_overrides.pop("max_bonds", None)
     if max_bonds is None:

@@ -59,6 +59,8 @@ class FluidSimulation:
                 params, self.spec, mesh, substeps=substeps, donate=donate
             )
         self._steps_per_sec = float("nan")
+        self._drag = None
+        self._drag_step = None
 
     @classmethod
     def from_scene(cls, scene: str, substeps: int = 10, mesh=None,
@@ -76,12 +78,62 @@ class FluidSimulation:
         blocks = max(1, -(-n_steps // self.substeps))
         t0 = time.perf_counter()
         for _ in range(blocks):
-            self.dstate = self._step(self.dstate)
+            if self._drag is not None:
+                self.dstate = self._drag_step(self.dstate, self._drag)
+            else:
+                self.dstate = self._step(self.dstate)
         jax.block_until_ready(self.dstate.px)
         n_done = blocks * self.substeps
         dt = time.perf_counter() - t0
         self._steps_per_sec = n_done / dt if dt > 0 else float("inf")
         return self._steps_per_sec
+
+    # -- interaction (L5: K5 analog for the fluid regime) ---------------------
+
+    def pick(self, ray_origin, ray_dir):
+        """Nearest fluid particle along a ray (pick radius h, the fluid's
+    'visual' scale) — the reference's CPU ray-sphere pick
+    (ParticleSystemController.cs:977-1013) over the dense state. Returns
+    the particle's world position (the drag anchor) or None."""
+        pos, _, _, _, mask = unpack(self.dstate)
+        p = np.asarray(pos)[np.asarray(mask)]
+        if not len(p):
+            return None
+        o = np.asarray(ray_origin, np.float32)
+        d = np.asarray(ray_dir, np.float32)
+        d = d / max(np.linalg.norm(d), 1e-12)
+        oc = p - o
+        tca = oc @ d
+        d2 = np.einsum("ij,ij->i", oc, oc) - tca * tca
+        r = self.params.h
+        hit = (tca >= 0) & (d2 <= r * r)
+        if not hit.any():
+            return None
+        t = np.where(hit, tca, np.inf)
+        return p[int(np.argmin(t))]
+
+    def set_drag(self, center, target, radius=None,
+                 strength: float = 100.0) -> None:
+        """Engage the space-anchored drag sphere (sph.model.FluidDrag):
+    particles within `radius` (default 3h) of `center` are pulled toward
+    `target` with the reference's impulse form (compute:311-324)."""
+        from sph_tpu.sph.model import FluidDrag
+
+        if radius is None:
+            radius = 3.0 * self.params.h
+        if self._drag_step is None:
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "interactive drag is single-device for now"
+                )
+            self._drag_step = make_dense_step(
+                self.params, self.spec, substeps=self.substeps,
+                donate=True, with_drag=True,
+            )
+        self._drag = FluidDrag.at(center, target, radius, strength)
+
+    def clear_drag(self) -> None:
+        self._drag = None
 
     # -- observability --------------------------------------------------------
 
@@ -192,4 +244,6 @@ class FluidSimulation:
                 params, sim.spec, mesh, substeps=sim.substeps, donate=True
             )
         sim._steps_per_sec = float("nan")
+        sim._drag = None
+        sim._drag_step = None
         return sim

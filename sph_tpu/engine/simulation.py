@@ -62,6 +62,7 @@ class Simulation:
             rng_mode=rng_mode,
         )
         self._steps_per_sec = float("nan")
+        self.last_selected = -1   # lastSelectedParticleID (cs:125)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -221,7 +222,12 @@ class Simulation:
         t = tca - np.sqrt(np.maximum(r * r - d2, 0.0))
         t = np.where(hit, t, np.inf)
         best = int(np.argmin(t))
-        return best if np.isfinite(t[best]) else -1
+        if not np.isfinite(t[best]):
+            return -1
+        # Sticky selection for the split-plane ring (lastSelectedParticleID,
+        # cs:125-126: survives drag release).
+        self.last_selected = best
+        return best
 
     def set_drag(self, slot: int, target, strength: float = 100.0) -> None:
         """Engage the drag force on a particle (K5 parity; strength 100 while
@@ -337,4 +343,5 @@ class Simulation:
         sim._step_cache = {}
         sim.state = state
         sim._steps_per_sec = float("nan")
+        sim.last_selected = -1
         return sim

@@ -40,12 +40,13 @@ def _interpret() -> bool:
 
 
 def _pick_yb(spec, nf: int, ncomp: int) -> int:
-    """Largest row-block (multiple of 8, divides NY, ≤ 64 so tile-skip
-    keeps useful granularity) whose working set fits the VMEM budget."""
+    """Largest row-block (multiple of 8, divides NY, ≤ 24: measured best at
+    colony scale — YB 24 < 48 < 8 at 100k; finer blocks skip more empty
+    tiles but pay pad overhead) whose working set fits the VMEM budget."""
     NY, L = spec.ny, spec.L
     P = 2 * spec.k - 1
     best = 8
-    for yb in range(8, min(NY, 64) + 1, 8):
+    for yb in range(8, min(NY, 24) + 1, 8):
         if NY % yb:
             continue
         est = 4 * (

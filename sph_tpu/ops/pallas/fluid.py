@@ -241,7 +241,7 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
 
 def _newton_call(fields, occ, spec, pair_fn, ncomp, self_init, sign,
                  flops_per_lane, transc_per_lane,
-                 explicit_mirror: bool = False):
+                 explicit_mirror: bool = False, occ_t=None):
     """Shared pallas_call builder for the density / accel / contact sweeps
     over fused [N0, K, C] fields. Returns (own, m_row, m_cs) part arrays
     (combine left to the caller)."""
@@ -258,7 +258,8 @@ def _newton_call(fields, occ, spec, pair_fn, ncomp, self_init, sign,
     nchunk = CB // sc
     nblocks = C // CB
 
-    occ_t = tile_occupancy(occ, spec)
+    if occ_t is None:
+        occ_t = tile_occupancy(occ, spec)
     kernel = functools.partial(
         _newton_kernel, nf=nf, ncomp=ncomp, k=K, nz=nz, groups=groups,
         dysc=dysc, X=X, sc=sc, nchunk=nchunk, pair_fn=pair_fn,
@@ -345,14 +346,18 @@ def _n_swept(spec) -> int:
     return sum(len(g[2]) * len(list(g[3])) for g in sweep_groups(spec))
 
 
-def density_pallas(px, py, pz, occ, params, spec) -> jnp.ndarray:
-    """Scaled raw ρ pass (caller applies the occupancy fixup)."""
+def density_pallas(px, py, pz, occ, params, spec,
+                   occ_t=None) -> jnp.ndarray:
+    """Scaled raw ρ pass (caller applies the occupancy fixup). occ_t: the
+    tile_occupancy flags, shareable across the step's passes (occupancy
+    only changes at rebins)."""
     h2 = params.h * params.h
     own, m_row, m_cs = _newton_call(
         (px, py, pz), occ, spec,
         pair_fn=lambda *a: density_pair_term(h2, *a),
         ncomp=1, self_init=density_self_term(params), sign=1,
         flops_per_lane=16 * _n_swept(spec), transc_per_lane=0,
+        occ_t=occ_t,
     )
     acc = combine_mirror_parts(
         own[0], m_row[0] if m_row else None,
@@ -361,7 +366,7 @@ def density_pallas(px, py, pz, occ, params, spec) -> jnp.ndarray:
     return params.particle_mass * KN.poly6_coeff(params.h, params.ndim) * acc
 
 
-def accel_pallas(d, pr2, params, spec):
+def accel_pallas(d, pr2, params, spec, occ_t=None):
     """Pressure + viscosity acceleration (no gravity/obstacles here)."""
     m = params.particle_mass
     irho = 1.0 / d.rho
@@ -377,6 +382,7 @@ def accel_pallas(d, pr2, params, spec):
         fields, d.occ, spec, pair_fn=pair, ncomp=3, self_init=None, sign=-1,
         flops_per_lane=40 * _n_swept(spec),
         transc_per_lane=2 * _n_swept(spec),
+        occ_t=occ_t,
     )
     return tuple(
         combine_mirror_parts(

@@ -71,13 +71,17 @@ def _local_step(d: DenseFluidState, params: SPHParams, spec: DenseSpec,
     def pad_state(st, fields):
         return st.replace_fields(**{f: ex(getattr(st, f)) for f in fields})
 
-    # --- density (needs neighbor positions) ---
-    dp = pad_state(d, ("px", "py", "pz", "occ", "vx", "vy", "vz",
-                       "rho", "prs"))
+    # --- density (needs ONLY neighbor positions + occupancy; shipping
+    # vel/rho/prs halos here would be 2-3× the necessary bytes per step —
+    # the DCN-seam economy the multi-slice mesh policy is predicated on) ---
+    dp = pad_state(d, ("px", "py", "pz", "occ"))
+    occ_t_pad = None
     if params.use_pallas:
-        from sph_tpu.ops.pallas.fluid import density_pallas
+        from sph_tpu.ops.pallas.fluid import density_pallas, tile_occupancy
 
-        rho_p = density_pallas(dp.px, dp.py, dp.pz, dp.occ, params, spec)
+        occ_t_pad = tile_occupancy(dp.occ, spec)   # shared with accel
+        rho_p = density_pallas(dp.px, dp.py, dp.pz, dp.occ, params, spec,
+                               occ_t=occ_t_pad)
     else:
         rho_p = density_pass(dp, params, spec)
         # density_pass already applies the occupancy fixup; the pallas path
@@ -87,19 +91,23 @@ def _local_step(d: DenseFluidState, params: SPHParams, spec: DenseSpec,
     )
     prs_p = jnp.where(dp.occ > 0.5, eos_pressure(rho_p, params), 0.0)
 
-    # --- forces (needs neighbor rho/prs too; rho_p already padded-shaped,
-    # but halo planes were computed from the neighbor's *positions* only —
-    # their rho halo must come from the OWNER's full-stencil value) ---
+    # --- forces: additionally need neighbor velocities and rho/prs. The
+    # rho/prs halos must come from the OWNER's full-stencil values (the
+    # locally computed halo planes saw positions only), hence the second
+    # exchange. ---
     rho_own = rho_p[1:-1]
     prs_own = prs_p[1:-1]
     rho_pad = ex(rho_own)
     prs_pad = ex(prs_own)
-    dp = dp.replace_fields(rho=rho_pad, prs=prs_pad)
+    dp = dp.replace_fields(
+        vx=ex(d.vx), vy=ex(d.vy), vz=ex(d.vz),
+        rho=rho_pad, prs=prs_pad,
+    )
     if params.use_pallas:
         from sph_tpu.ops.pallas.fluid import accel_pallas
 
         pr2 = dp.prs / (dp.rho * dp.rho)
-        ax, ay, az = accel_pallas(dp, pr2, params, spec)
+        ax, ay, az = accel_pallas(dp, pr2, params, spec, occ_t=occ_t_pad)
     else:
         ax, ay, az = accel_pass(dp, params, spec)
 
@@ -218,6 +226,78 @@ def make_sharded_dense_step(params: SPHParams, spec: DenseSpec, mesh: Mesh,
         return out.replace_fields(
             **{k: getattr(out, k)[: spec.n0] for k in fills}
         )
+
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_contact_forces(params, mesh: Mesh, spec=None,
+                                donate: bool = False):
+    """Jitted SimState -> (force, torque, overflow) with the CONTACT sweep
+    (the biology regime's O(slots·k·variants) hot loop) decomposed over a
+    1D mesh: z-plane slabs of the [Z, Y, X·K] layout with one-plane
+    ppermute halos — the same ring the fluid engine uses.
+
+    The in-jit pack/unpack (O(N) sort + scatter) stays replicated: at
+    colony scale the sweep dominates, and division/bond tables are
+    replicated anyway (VERDICT r2 scoping). Results are BITWISE identical
+    to the single-device sweep: slab-interior planes see identical
+    3-plane inputs, and both the single-device clip and the wrapping halo
+    ring resolve global-edge planes to sentinel data whose pair terms are
+    exact zeros (asserted in tests/test_dist.py)."""
+    from sph_tpu.physics.contact_dense import (
+        _pack_args,
+        contact_pair_terms,
+        make_contact_spec,
+    )
+
+    if spec is None:
+        spec = make_contact_spec(
+            params, k=params.dense_k, cell_factor=params.dense_cell_factor
+        )
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    NZ = spec.nz
+    pad = (-NZ) % n
+
+    def sweep_local(*args):
+        from sph_tpu.ops.pallas.contact import contact_sweep_pallas
+
+        fields, occ = args[:-1], args[-1]
+        padded = tuple(exchange_halo(f, axis) for f in fields)
+        occ_p = exchange_halo(occ, axis)
+        pair = lambda *a: contact_pair_terms(params, *a)  # noqa: E731
+        comps = contact_sweep_pallas(padded, occ_p, spec, pair, ncomp=6)
+        return tuple(c[1:-1] for c in comps)
+
+    arr = P(axis, None, None)
+    f_shard = jax.shard_map(
+        sweep_local, mesh=mesh,
+        in_specs=(arr,) * 11, out_specs=(arr,) * 6,
+        check_vma=False,
+    )
+
+    def f(state):
+        fields, occ, slot_of, overflow = _pack_args(state, spec)
+        if pad:
+            ext = (pad,) + occ.shape[1:]
+            fills = (SENTINEL,) * 3 + (0.0,) * 6 + (1.0,)
+            fields = tuple(
+                jnp.concatenate(
+                    [f, jnp.full(ext, fill, jnp.float32)], axis=0
+                )
+                for f, fill in zip(fields, fills)
+            )
+            occ = jnp.concatenate(
+                [occ, jnp.zeros(ext, jnp.float32)], axis=0
+            )
+        comps = f_shard(*fields, occ)
+        table = jnp.stack(
+            [c[:NZ].reshape(-1) for c in comps], axis=-1
+        )
+        idx = jnp.minimum(slot_of, table.shape[0] - 1)
+        valid = (slot_of < table.shape[0])[:, None].astype(jnp.float32)
+        ft = table[idx] * valid
+        return ft[:, :3], ft[:, 3:], overflow
 
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 

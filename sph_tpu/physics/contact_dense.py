@@ -155,7 +155,10 @@ def contact_pair_terms(params: SimParams,
     rn = rvx * ux + rvy * uy + rvz * uz
     tx, ty, tz = rvx - ux * rn, rvy - uy * rn, rvz - uz * rn
     slip2 = tx * tx + ty * ty + tz * tz
-    slip_inv = jax.lax.rsqrt(jnp.maximum(slip2, 1e-40))
+    # Guard must be a NORMAL f32: the TPU flushes denormals, so a 1e-40
+    # floor becomes rsqrt(0)=inf and no-slip lanes go 0·inf = NaN (seen as
+    # twin-vs-Pallas NaN mismatches on real hardware; CPU never flushes).
+    slip_inv = jax.lax.rsqrt(jnp.maximum(slip2, 1e-30))
     slip = slip2 * slip_inv
     slipping = in_contact * (slip > params.slip_epsilon).astype(jnp.float32)
 
@@ -206,23 +209,28 @@ def _pack_args(state: SimState, spec: ContactSpec):
     flat = cid_s * K + rank                       # == (z·ny+y)·L + x·K + m
     flat = jnp.where(fits, flat, slots)
 
-    def scatter(vals, fill):
+    # ONE wide-row gather reorders all 11 fields (11 per-column [N] gathers
+    # are descriptor-bound — they were ~10 ms of the 100k frame); the
+    # column SCATTERS stay separate (measured faster than a row scatter).
+    tbl = jnp.concatenate(
+        [state.pos, state.vel, state.ang_vel,
+         state.radius[:, None], jnp.ones((N, 1), jnp.float32)], axis=1,
+    )                                             # [N, 11]
+    sorted_rows = tbl[order]
+
+    fills = (SENTINEL, SENTINEL, SENTINEL, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+             1.0, 0.0)
+
+    def scatter(c):
+        fill = fills[c]
         out = jnp.full(slots + 1, fill, jnp.float32).at[flat].set(
-            jnp.where(fits, vals[order], fill)
+            jnp.where(fits, sorted_rows[:, c], fill)
         )
         return out[:slots].reshape(spec.shape())
 
-    px = scatter(state.pos[:, 0], SENTINEL)
-    py = scatter(state.pos[:, 1], SENTINEL)
-    pz = scatter(state.pos[:, 2], SENTINEL)
-    vx = scatter(state.vel[:, 0], 0.0)
-    vy = scatter(state.vel[:, 1], 0.0)
-    vz = scatter(state.vel[:, 2], 0.0)
-    ox = scatter(state.ang_vel[:, 0], 0.0)
-    oy = scatter(state.ang_vel[:, 1], 0.0)
-    oz = scatter(state.ang_vel[:, 2], 0.0)
-    rad = scatter(state.radius, 1.0)
-    occ = scatter(jnp.ones(N, jnp.float32), 0.0)
+    px, py, pz, vx, vy, vz, ox, oy, oz, rad, occ = (
+        scatter(c) for c in range(11)
+    )
 
     # slot_of_particle: flat dense slot per original index (slots = dropped).
     slot_of = jnp.full(N, slots, jnp.int32).at[order].set(

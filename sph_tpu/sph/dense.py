@@ -458,9 +458,10 @@ def rebin_vmax(params: SPHParams, spec: DenseSpec) -> float:
 
 
 def _integrate(d: DenseFluidState, ax, ay, az, params: SPHParams,
-               vmax: float):
-    """Gravity/obstacles + symplectic Euler (velocity clamped to the rebin
-    reachability budget BEFORE the position update) + box walls.
+               vmax: float, drag=None):
+    """Gravity/obstacles + optional interactive drag + symplectic Euler
+    (velocity clamped to the rebin reachability budget BEFORE the position
+    update) + box walls.
 
     Returns (px, py, pz, vx, vy, vz, n_clamped): n_clamped counts the lanes
     the vmax clamp actually limited — a loud fidelity diagnostic (the clamp
@@ -473,6 +474,21 @@ def _integrate(d: DenseFluidState, ax, ay, az, params: SPHParams,
         ax = ax + oa[..., 0]
         ay = ay + oa[..., 1]
         az = az + oa[..., 2]
+    if drag is not None:
+        # Space-anchored drag sphere (sph.model.FluidDrag): the reference's
+        # per-particle impulse form (target − pos)·strength·dt/mass
+        # (compute:311-324) applied to every lane inside the sphere.
+        ddx = d.px - drag.center[0]
+        ddy = d.py - drag.center[1]
+        ddz = d.pz - drag.center[2]
+        in_r = (
+            (ddx * ddx + ddy * ddy + ddz * ddz < drag.radius * drag.radius)
+            & (drag.strength > 0.0)
+        ).astype(jnp.float32)
+        g = in_r * (drag.strength / params.particle_mass)
+        ax = ax + (drag.target[0] - d.px) * g
+        ay = ay + (drag.target[1] - d.py) * g
+        az = az + (drag.target[2] - d.pz) * g
     occ = d.occ > 0.5
     vx = jnp.where(occ, d.vx + ax * dt, 0.0)
     vy = jnp.where(occ, d.vy + ay * dt, 0.0)
@@ -633,21 +649,30 @@ def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
 
 
 def dense_step(d: DenseFluidState, params: SPHParams,
-               spec: DenseSpec) -> DenseFluidState:
+               spec: DenseSpec, drag=None) -> DenseFluidState:
     """One WCSPH step on the dense layout: density → EOS → forces →
-    integrate → rebin (every `rebin_every` steps, with a velocity clamp
-    keeping inter-rebin drift inside the stencil margin)."""
+    integrate (incl. optional interactive drag) → rebin (every
+    `rebin_every` steps, with a velocity clamp keeping inter-rebin drift
+    inside the stencil margin)."""
     if params.use_pallas:
-        from sph_tpu.ops.pallas.fluid import accel_pallas, density_pallas
+        from sph_tpu.ops.pallas.fluid import (
+            accel_pallas,
+            density_pallas,
+            tile_occupancy,
+        )
 
-        rho = density_pallas(d.px, d.py, d.pz, d.occ, params, spec)
+        # One tile-occupancy reduction serves both pair passes (occupancy
+        # only changes at rebins; ~1.5 ms/step at 256k when computed twice).
+        occ_t = tile_occupancy(d.occ, spec)
+        rho = density_pallas(d.px, d.py, d.pz, d.occ, params, spec,
+                             occ_t=occ_t)
         rho = jnp.where(
             d.occ > 0.5, jnp.maximum(rho, 1e-6), params.rest_density
         )
         prs = jnp.where(d.occ > 0.5, eos_pressure(rho, params), 0.0)
         d = d.replace_fields(rho=rho, prs=prs)
         pr2 = d.prs / (d.rho * d.rho)
-        ax, ay, az = accel_pallas(d, pr2, params, spec)
+        ax, ay, az = accel_pallas(d, pr2, params, spec, occ_t=occ_t)
     else:
         rho = density_pass(d, params, spec)
         prs = jnp.where(d.occ > 0.5, eos_pressure(rho, params), 0.0)
@@ -655,7 +680,7 @@ def dense_step(d: DenseFluidState, params: SPHParams,
         ax, ay, az = accel_pass(d, params, spec)
 
     px, py, pz, vx, vy, vz, n_clamped = _integrate(
-        d, ax, ay, az, params, rebin_vmax(params, spec)
+        d, ax, ay, az, params, rebin_vmax(params, spec), drag=drag
     )
 
     def do_rebin(args):
@@ -694,16 +719,25 @@ def _check_rebin_cadence(params: SPHParams, spec: DenseSpec):
 
 
 def make_dense_step(params: SPHParams, spec: DenseSpec, substeps: int = 1,
-                    donate: bool = True):
+                    donate: bool = True, with_drag: bool = False):
+    """Jitted (state[, drag]) -> state. with_drag=True adds a traced
+    FluidDrag argument (interactive viewer path) — pass FluidDrag.none()
+    when idle; the strength gate makes it inert."""
     _check_rebin_cadence(params, spec)
-    key = (params, spec, substeps, donate)
+    key = (params, spec, substeps, donate, with_drag)
     if key not in _DENSE_CACHE:
-        def f(st):
+        def f(st, drag=None):
             if substeps == 1:
-                return dense_step(st, params, spec)
+                return dense_step(st, params, spec, drag=drag)
             return jax.lax.scan(
-                lambda s, _: (dense_step(s, params, spec), None), st, None,
-                length=substeps,
+                lambda s, _: (dense_step(s, params, spec, drag=drag), None),
+                st, None, length=substeps,
             )[0]
-        _DENSE_CACHE[key] = jax.jit(f, donate_argnums=(0,) if donate else ())
+        if with_drag:
+            fn = jax.jit(f, donate_argnums=(0,) if donate else ())
+        else:
+            fn = jax.jit(
+                lambda st: f(st), donate_argnums=(0,) if donate else ()
+            )
+        _DENSE_CACHE[key] = fn
     return _DENSE_CACHE[key]

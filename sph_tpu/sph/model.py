@@ -117,6 +117,40 @@ class SPHState:
         )
 
 
+@pytree_dataclass
+class FluidDrag:
+    """Interactive drag for the fluid regime (K5 analog,
+    SimulateParticles.compute:311-324).
+
+    The reference drags ONE particle by id; dense-fluid slots migrate on
+    rebin, so the TPU-first redesign anchors the drag in SPACE: every
+    particle within `radius` of `center` gets the reference's impulse form
+    `(target − pos)·strength·dt/mass`. The viewer re-centers the sphere on
+    the picked fluid each frame, which follows the dragged blob the way the
+    reference follows the dragged particle. strength ≤ 0 disables (inert
+    default, so one compiled step serves both modes)."""
+
+    center: jnp.ndarray     # [3]
+    radius: jnp.ndarray     # scalar
+    target: jnp.ndarray     # [3]
+    strength: jnp.ndarray   # scalar; <= 0 ⇒ no-op
+
+    @staticmethod
+    def none() -> "FluidDrag":
+        z = jnp.zeros(3, jnp.float32)
+        return FluidDrag(center=z, radius=jnp.float32(0.0), target=z,
+                         strength=jnp.float32(0.0))
+
+    @staticmethod
+    def at(center, target, radius, strength=100.0) -> "FluidDrag":
+        return FluidDrag(
+            center=jnp.asarray(center, jnp.float32),
+            radius=jnp.float32(radius),
+            target=jnp.asarray(target, jnp.float32),
+            strength=jnp.float32(strength),
+        )
+
+
 # ---------------------------------------------------------------------------
 # SDF obstacles (config[3]): signed-distance colliders with penalty forces.
 # ---------------------------------------------------------------------------

@@ -186,3 +186,37 @@ def test_autopad_8dev_matches_single_device(runs):
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ref.vy), np.asarray(out.vy),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_contact_forces_bit_equal():
+    """The contact regime's sharded sweep (make_sharded_contact_forces,
+    z-slab halo ring over the [Z, Y, X·K] layout) is BITWISE equal to the
+    single-device dense contact path — slab interiors see identical
+    3-plane inputs, and global-edge clip vs wrapped-sentinel halos both
+    contribute exact zeros."""
+    from sph_tpu.core.types import SimParams, SimState
+    from sph_tpu.parallel.dist import make_sharded_contact_forces
+    from sph_tpu.physics.contact_dense import contact_forces_dense
+
+    n = 300
+    params = SimParams(
+        capacity=n, spawn_radius=10.0, neighbor_mode="dense",
+        dense_k=4, use_pallas=True,   # k=4: random-uniform ball, not lattice
+    )
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    u = jax.random.normal(k1, (n, 3))
+    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    r = 9.0 * jax.random.uniform(k2, (n, 1)) ** (1 / 3)
+    st = SimState.zeros(n, params).replace_fields(
+        pos=u * r,
+        vel=jax.random.normal(k3, (n, 3)) * 0.5,
+        radius=jnp.full(n, 2.0),
+        active_count=jnp.int32(n),
+    )
+    f1, t1, o1 = jax.jit(lambda s: contact_forces_dense(s, params))(st)
+    mesh = mesh_1d(8)
+    f8, t8, o8 = make_sharded_contact_forces(params, mesh)(st)
+    assert int(o1) == int(o8) == 0
+    assert float(jnp.abs(f1).max()) > 0  # colony really interacts
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f8))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t8))

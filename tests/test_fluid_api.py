@@ -120,3 +120,41 @@ def test_fluid_simulation_on_mesh(tmp_path):
     np.testing.assert_allclose(
         np.asarray(c.dstate.px), np.asarray(d.dstate.px), rtol=1e-6
     )
+
+
+def test_fluid_interactive_drag():
+    """K5 analog for the fluid regime: the space-anchored drag sphere pulls
+    nearby fluid toward the target (SimulateParticles.compute:311-324
+    impulse form; TPU-first redesign — dense slots migrate on rebin, so
+    drag anchors in space, not on a particle id)."""
+    import numpy as np
+
+    from sph_tpu.engine.fluid import FluidSimulation
+
+    sim = FluidSimulation.from_scene("dam_break_3d", n_target=400, substeps=5)
+    sim.run(5)
+    # Pick a fluid particle with a ray straight down its column.
+    pos0, _, _, _ = sim.particles()
+    anchor = pos0[len(pos0) // 2]
+    hit = sim.pick(anchor + np.array([0, 0, -1], np.float32), (0, 0, 1))
+    assert hit is not None and np.linalg.norm(hit - anchor) < 4 * sim.params.h
+
+    target = anchor + np.array([0.0, 0.3, 0.0], np.float32)
+    baseline = FluidSimulation.from_scene(
+        "dam_break_3d", n_target=400, substeps=5
+    )
+    import jax
+    import jax.numpy as jnp
+
+    # Deep copy: both sims step with donated buffers.
+    baseline.dstate = jax.tree_util.tree_map(jnp.array, sim.dstate)
+    sim.set_drag(anchor, target, strength=5000.0)
+    sim.run(30)
+    baseline.run(30)
+    pos_d, _, _, _ = sim.particles()
+    pos_b, _, _, _ = baseline.particles()
+    # Dragged fluid's center of mass moved toward the target (up in y)
+    # relative to the no-drag baseline.
+    assert pos_d[:, 1].mean() > pos_b[:, 1].mean() + 1e-4
+    sim.clear_drag()
+    sim.run(5)  # drag-free stepping still works after release

@@ -109,13 +109,42 @@ def test_cells_overlay_frame(tmp_path):
     sim = Simulation(reference_genome(), p)
     sim.step(24)
     sim.set_drag(0, (5.0, 5.0, 0.0), 100.0)
+    sim.last_selected = 0   # as a pick() hit would set (cs:125)
     out = tmp_path / "cells.png"
-    pil = render_cells_frame(sim, path=str(out))
+    pil = render_cells_frame(sim, path=str(out), show_split_rings=True,
+                             show_anchors=True)
     assert out.exists()
     arr = np.asarray(pil)
     assert arr.shape == (450, 800, 3)
     # Overlays leave non-background pixels (labels are yellowish, drag green).
     assert (arr[..., 1].astype(int) - arr[..., 2].astype(int) > 60).any()
+    # The split-plane ring draws pure cyan pixels (cs:1065-1109 channel).
+    cyan = (arr[..., 0] < 40) & (arr[..., 1] > 200) & (arr[..., 2] > 200)
+    assert cyan.any()
+    # Baseline frame (rings off, anchors off) differs.
+    base = render_cells_frame(sim, show_split_rings=False,
+                              show_anchors=False)
+    assert (np.asarray(base) != arr).any()
+
+
+def test_split_plane_ring_geometry():
+    """Ring points lie on the radius-2 circle in the plane ⊥ the world
+    split direction (cs:1065-1109: normal = frame · GetDirection(yaw,
+    pitch), radius 2, 48 segments + closing point)."""
+    from sph_tpu.render.overlay import split_plane_ring_points
+
+    center = np.array([1.0, 2.0, 3.0], np.float32)
+    rot = np.array([0.0, 0.0, 0.0, 1.0], np.float32)   # identity
+    pts = split_plane_ring_points(center, rot, split_yaw=0.0,
+                                  split_pitch=0.0)
+    assert pts.shape == (49, 3)
+    rel = pts - center
+    # yaw 0 / pitch 0 ⇒ split dir (= normal) is local +z.
+    np.testing.assert_allclose(rel[:, 2], 0.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.linalg.norm(rel, axis=-1), 2.0, rtol=1e-5
+    )
+    np.testing.assert_allclose(pts[0], pts[-1], atol=1e-5)  # closed loop
 
 
 def test_sphere_impostor_radius_and_forward_dot():
