@@ -78,6 +78,38 @@ def _lib():
                     ctypes.c_float, ctypes.c_float, ctypes.c_float,
                     f32p, f32p,
                 ]
+                lib.queue_splits.argtypes = [
+                    ctypes.c_int, ctypes.c_int, ctypes.c_float,
+                    ctypes.c_int, ctypes.c_int,
+                    f32p, i32p, i32p, f32p, f32p, f32p, f32p, f32p, f32p,
+                    ctypes.c_float, ctypes.c_float,
+                    i32p, f32p, f32p, f32p,
+                    i32p, i32p, i32p, i32p, i32p,
+                    f32p, f32p, f32p, f32p, f32p, f32p,
+                ]
+                lib.process_splits.argtypes = [
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    i32p, i32p, i32p, i32p,
+                    f32p, f32p, f32p, f32p, f32p, f32p,
+                    f32p, f32p, f32p, i32p, f32p,
+                    f32p, f32p, f32p, f32p, f32p, f32p, i32p, i32p, i32p,
+                    i32p, i32p, i32p,
+                    u8p, u8p, u8p, ctypes.c_int,
+                    ctypes.c_int, u8p, i32p, i32p, i32p, i32p, i32p, i32p,
+                    u8p, i32p, f32p, f32p, f32p, u8p,
+                    ctypes.c_int,
+                ]
+                lib.update_bond_zones.argtypes = [
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_float, ctypes.c_int,
+                    f32p, f32p, i32p, f32p, f32p,
+                    u8p, i32p, i32p, i32p,
+                    i32p, i32p, f32p, f32p, u8p,
+                ]
+                lib.filter_bonds.argtypes = [
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+                    i32p, i32p, i32p, i32p, i32p, u8p,
+                ]
                 _LIB = lib
     return _LIB
 
@@ -159,6 +191,146 @@ def adhesion_deltas_native(state, params, genome_dev):
         params.dt, dv, dq,
     )
     return dv, dq
+
+
+def _i(a):
+    return np.ascontiguousarray(np.asarray(a), np.int32)
+
+
+def _u8(a):
+    return np.ascontiguousarray(np.asarray(a), np.uint8)
+
+
+def _bond_arrays(b):
+    """BondTable -> dict of mutable numpy arrays (C layout)."""
+    return {
+        "active": _u8(b.active), "uid_a": _i(b.uid_a), "uid_b": _i(b.uid_b),
+        "slot_a": _i(b.slot_a), "slot_b": _i(b.slot_b),
+        "zone_a": _i(b.zone_a), "zone_b": _i(b.zone_b),
+        "child_to_child": _u8(b.child_to_child),
+        "created_step": _i(b.created_step),
+        "rel_orientation": _f(b.rel_orientation).copy(),
+        "anchor_a": _f(b.anchor_a).copy(), "anchor_b": _f(b.anchor_b).copy(),
+        "anchors_set": _u8(b.anchors_set),
+    }
+
+
+def queue_splits_native(state, params, genome_dev, dt=None):
+    """Division queue oracle (UpdateCellDivisionTimers + SplitCell,
+    cs:631-778): returns (timer [n], pending dict) matching
+    biology.division.queue_splits."""
+    n = state.pos.shape[0]
+    S = state.pending.parent_slot.shape[0]
+    n_modes = max(int(genome_dev.n_modes), 1)
+    timer = _f(state.split_timer).copy()
+    count = np.zeros(1, np.int32)
+    p = {
+        "parent_slot": np.full(S, -1, np.int32),
+        "mode_a": np.zeros(S, np.int32), "mode_b": np.zeros(S, np.int32),
+        "parent_mode": np.zeros(S, np.int32),
+        "pos_a": np.zeros((S, 3), np.float32),
+        "pos_b": np.zeros((S, 3), np.float32),
+        "vel_a": np.zeros((S, 3), np.float32),
+        "vel_b": np.zeros((S, 3), np.float32),
+        "rot_a": np.tile(np.array([0, 0, 0, 1], np.float32), (S, 1)),
+        "rot_b": np.tile(np.array([0, 0, 0, 1], np.float32), (S, 1)),
+    }
+    _lib().queue_splits(
+        n, int(state.active_count),
+        params.dt if dt is None else float(dt), n_modes, S,
+        _f(genome_dev.split_interval),
+        _i(genome_dev.child_a_mode_index), _i(genome_dev.child_b_mode_index),
+        _f(genome_dev.parent_split_yaw), _f(genome_dev.parent_split_pitch),
+        _f(genome_dev.child_a_orientation_yaw),
+        _f(genome_dev.child_a_orientation_pitch),
+        _f(genome_dev.child_b_orientation_yaw),
+        _f(genome_dev.child_b_orientation_pitch),
+        params.spawn_overlap_offset, params.split_velocity_magnitude,
+        _i(state.mode), timer, _f(state.pos), _f(state.rot),
+        count, p["parent_slot"], p["mode_a"], p["mode_b"], p["parent_mode"],
+        p["pos_a"], p["pos_b"], p["vel_a"], p["vel_b"],
+        p["rot_a"], p["rot_b"],
+    )
+    p["count"] = int(count[0])
+    return timer, p
+
+
+def process_splits_native(state, genome_dev):
+    """Split application oracle (ProcessPendingSplits, cs:780-964 +
+    HandleCellSplit, CAM:425-509): returns a dict with the updated per-cell
+    arrays, scalars (active_count, next_uid, overflow) and bond table."""
+    n = state.pos.shape[0]
+    pend = state.pending
+    S = pend.parent_slot.shape[0]
+    n_modes = max(int(genome_dev.n_modes), 1)
+    b = _bond_arrays(state.bonds)
+    out = {
+        "pos": _f(state.pos).copy(), "vel": _f(state.vel).copy(),
+        "rot": _f(state.rot).copy(), "mode": _i(state.mode),
+        "ang_vel": _f(state.ang_vel).copy(),
+        "radius": _f(state.radius).copy(), "mass": _f(state.mass).copy(),
+        "inertia": _f(state.inertia).copy(), "drag": _f(state.drag).copy(),
+        "repulsion": _f(state.repulsion).copy(),
+        "split_timer": _f(state.split_timer).copy(),
+        "uid": _i(state.uid), "parent_uid": _i(state.parent_uid),
+        "child_type": _i(state.child_type),
+    }
+    active = np.array([int(state.active_count)], np.int32)
+    next_uid = np.array([int(state.next_uid)], np.int32)
+    overflow = np.array([0], np.int32)
+    _lib().process_splits(
+        n, S, int(pend.count),
+        _i(pend.parent_slot), _i(pend.mode_a), _i(pend.mode_b),
+        _i(pend.parent_mode),
+        _f(pend.pos_a), _f(pend.pos_b), _f(pend.vel_a), _f(pend.vel_b),
+        _f(pend.rot_a), _f(pend.rot_b),
+        out["pos"], out["vel"], out["rot"], out["mode"], out["ang_vel"],
+        out["radius"], out["mass"], out["inertia"], out["drag"],
+        out["repulsion"], out["split_timer"], out["uid"],
+        out["parent_uid"], out["child_type"],
+        active, next_uid, overflow,
+        _u8(genome_dev.child_a_keep_adhesion),
+        _u8(genome_dev.child_b_keep_adhesion),
+        _u8(genome_dev.parent_make_adhesion), n_modes,
+        state.bonds.capacity, b["active"], b["uid_a"], b["uid_b"],
+        b["slot_a"], b["slot_b"], b["zone_a"], b["zone_b"],
+        b["child_to_child"], b["created_step"], b["rel_orientation"],
+        b["anchor_a"], b["anchor_b"], b["anchors_set"],
+        int(state.step_count),
+    )
+    out.update(active_count=int(active[0]), next_uid=int(next_uid[0]),
+               overflow=int(overflow[0]), bonds=b)
+    return out
+
+
+def update_bond_zones_native(state, params, genome_dev):
+    """Bond zone/anchor refresh oracle (UpdateBondZones, CAM:338-423):
+    returns the updated bond-table dict."""
+    n = state.pos.shape[0]
+    b = _bond_arrays(state.bonds)
+    _lib().update_bond_zones(
+        n, state.bonds.capacity, int(state.step_count),
+        params.inheritance_angle_deg, max(int(genome_dev.n_modes), 1),
+        _f(state.pos), _f(state.rot), _i(state.mode),
+        _f(genome_dev.parent_split_yaw), _f(genome_dev.parent_split_pitch),
+        b["active"], b["slot_a"], b["slot_b"], b["created_step"],
+        b["zone_a"], b["zone_b"], b["anchor_a"], b["anchor_b"],
+        b["anchors_set"],
+    )
+    return b
+
+
+def filter_bonds_native(state):
+    """Shortest-bond prune oracle (FilterBonds, CAM:184-243): returns the
+    post-prune active mask [B] (uint8)."""
+    b = state.bonds
+    active = _u8(b.active)
+    _lib().filter_bonds(
+        state.pos.shape[0], b.capacity, int(state.step_count), _f(state.pos),
+        _i(b.slot_a), _i(b.slot_b), _i(b.zone_a), _i(b.zone_b),
+        _i(b.created_step), active,
+    )
+    return active
 
 
 def sph_density_accel_native(pos, vel, params):
