@@ -8,6 +8,12 @@ fraction of the 60M particle-steps/s target (1M particles x 60 steps/s).
 
 Run on the real TPU (default platform); pass --config N for other ladder
 rungs, --all for the whole ladder.
+
+Timing windows chain 45-120 substeps per dispatch inside lax.scan: the
+axon relay's per-dispatch overhead was remeasured at ~27-30 ms/call in
+round 3 (tools/probe_sub.py; the round-2 design assumed 4-6 ms), which at
+15 substeps taxed the 256k rung ~2 ms/step — a third of its real on-chip
+step time.
 """
 
 from __future__ import annotations
@@ -36,7 +42,7 @@ def _rate_stats(rates: list[float], n: int) -> dict:
     }
 
 
-def _bench_dense(n_target: int, steps: int = 60, substeps: int = 15,
+def _bench_dense(n_target: int, steps: int = 240, substeps: int = 60,
                  rebin_every: int = 6, obstacles=(), cell_factor: float = 1.25):
     from sph_tpu.sph.dense import make_dense_spec, pack, make_dense_step
     from sph_tpu.sph.scenes import dam_break_3d
@@ -86,7 +92,7 @@ def _bench_2d_bruteforce(n_target: int, steps: int = 20):
             "particle_steps_per_sec": round(sps * N, 0)}
 
 
-def _bench_2d_dense(n_target: int, steps: int = 60, substeps: int = 30):
+def _bench_2d_dense(n_target: int, steps: int = 480, substeps: int = 120):
     """Config[1]: 2D splash/pour on the dense spatial-hash grid engine."""
     from sph_tpu.sph.dense import make_dense_spec, pack, make_dense_step
     from sph_tpu.sph.scenes import splash_pour_2d
@@ -114,7 +120,7 @@ def _bench_2d_dense(n_target: int, steps: int = 60, substeps: int = 30):
     return out
 
 
-def _bench_cells(n: int, steps: int = 60, chunk: int = 30,
+def _bench_cells(n: int, steps: int = 240, chunk: int = 120,
                  neighbor_mode: str = "dense"):
     """Biology/contact regime on the CURRENT backend: a BONDED settled
     colony (contact sweep + rotation + adhesion constraints + bond pruning
@@ -290,7 +296,7 @@ def _bench_4m_multichip():
     validates the multi-chip path without multi-chip hardware; stencil/halo
     width per the reference's 27-cell stencil, SimulateParticles.compute:
     228-233)."""
-    out = _bench_dense(4_000_000, steps=15, substeps=5, cell_factor=1.35)
+    out = _bench_dense(4_000_000, steps=45, substeps=15, cell_factor=1.35)
 
     import os
     import subprocess

@@ -8,9 +8,11 @@ Application.targetFrameRate, ParticleSystemController.cs:213). Here:
 - `step_breakdown(...)`: per-phase wall times of the dense fluid step —
   grid/occupancy build, density pass, force pass, integrate, rebin — the
   exact "ms/step split: grid build vs force sum" the BASELINE metric asks
-  for. Phases are timed by running each jitted piece to completion (a small
-  scalar fetch forces execution; plain block_until_ready is unreliable
-  through the axon relay).
+  for. Each phase is timed as a state→state map iterated `sub` times inside
+  one `lax.scan` dispatch: the axon relay's per-dispatch overhead
+  (~27-30 ms/call, tools/probe_sub.py) would otherwise dwarf every phase,
+  and `block_until_ready` can return early through the tunnel — a small
+  scalar fetch forces execution instead.
 """
 
 from __future__ import annotations
@@ -32,60 +34,77 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def _timed(fn, *args, n=5):
-    red = jax.jit(lambda o: jnp.sum(jax.tree_util.tree_leaves(o)[0][..., :1]))
-    out = fn(*args)
-    _ = float(red(out))
-    t0 = time.perf_counter()
-    for _i in range(n):
-        out = fn(*args)
-    _ = float(red(out))
-    return (time.perf_counter() - t0) / n * 1000.0, out
+def _scan_timed(body, x, sub=30, rounds=4):
+    """Best ms per body application, `sub` chained applications per
+    dispatch (amortizes the relay's per-dispatch overhead to <1 ms)."""
+    f = jax.jit(lambda x: jax.lax.scan(
+        lambda c, _: (body(c), None), x, None, length=sub)[0])
+    out = f(x)
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0][..., :1]))
+    best = 1e9
+    for _i in range(rounds):
+        t0 = time.perf_counter()
+        out = f(x)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0][..., :1]))
+        best = min(best, (time.perf_counter() - t0) / sub * 1000.0)
+    return best, out
 
 
-def step_breakdown(dstate, params, spec, n=5) -> dict:
-    """Per-phase ms for one dense fluid step at the current state."""
+def step_breakdown(dstate, params, spec, n=4, sub=30) -> dict:
+    """Per-phase ms for one dense fluid step at the current state. Phases
+    are timed independently (each as a fixed-point-ish state map), so the
+    sum can differ slightly from the fused full step."""
     from sph_tpu.ops.pallas.fluid import (
         accel_pallas,
         density_pallas,
         tile_occupancy,
     )
-    from sph_tpu.sph.dense import _integrate, rebin, rebin_vmax
+    from sph_tpu.sph.dense import _integrate, dense_step, rebin, rebin_vmax
     from sph_tpu.sph.model import eos_pressure
 
-    out = {}
-    out["grid_build_ms"], _ = _timed(
-        jax.jit(lambda d: tile_occupancy(d.occ, spec)), dstate, n=n
-    )
-    out["density_ms"], rho = _timed(
-        jax.jit(lambda d: density_pallas(d.px, d.py, d.pz, d.occ, params, spec)),
-        dstate, n=n,
-    )
-    rho = jnp.where(dstate.occ > 0.5, jnp.maximum(rho, 1e-6),
-                    params.rest_density)
-    prs = jnp.where(dstate.occ > 0.5, eos_pressure(rho, params), 0.0)
-    d2 = dstate.replace_fields(rho=rho, prs=prs)
-    out["force_ms"], acc = _timed(
-        jax.jit(lambda d: accel_pallas(d, d.prs / (d.rho * d.rho), params, spec)),
-        d2, n=n,
-    )
     vmax = rebin_vmax(params, spec)
-    out["integrate_ms"], moved = _timed(
-        jax.jit(lambda d: _integrate(d, acc[0], acc[1], acc[2], params, vmax)),
-        d2, n=n,
-    )
-    if params.use_pallas:
-        from sph_tpu.ops.pallas.rebin import rebin_pallas as _rebin
-    else:
-        _rebin = rebin
-    out["rebin_ms"], _ = _timed(
-        jax.jit(lambda d: _rebin(d, moved[0], moved[1], moved[2], moved[3],
-                                 moved[4], moved[5], params, spec)),
-        d2, n=n,
-    )
+    occ_t = tile_occupancy(dstate.occ, spec)
+
+    def ph_occ(d):
+        t = tile_occupancy(d.occ, spec)
+        return d.replace_fields(rho=d.rho + 1e-30 * jnp.sum(t))
+
+    def ph_density(d):
+        rho = density_pallas(d.px, d.py, d.pz, d.occ, params, spec,
+                             occ_t=occ_t)
+        rho = jnp.where(d.occ > 0.5, jnp.maximum(rho, 1e-6),
+                        params.rest_density)
+        prs = jnp.where(d.occ > 0.5, eos_pressure(rho, params), 0.0)
+        return d.replace_fields(rho=rho, prs=prs)
+
+    def ph_force(d):
+        ax, ay, az = accel_pallas(d, d.prs / (d.rho * d.rho), params, spec,
+                                  occ_t=occ_t)
+        return d.replace_fields(vx=d.vx + 1e-30 * ax, vy=d.vy + 1e-30 * ay,
+                                vz=d.vz + 1e-30 * az)
+
+    def ph_integrate(d):
+        z = jnp.zeros_like(d.px)
+        px, py, pz, vx, vy, vz, _ncl = _integrate(
+            d, z, z, z, params, vmax)
+        return d.replace_fields(px=px, py=py, pz=pz)
+
+    def ph_rebin(d):
+        if params.use_pallas:
+            from sph_tpu.ops.pallas.rebin import rebin_pallas as _rb
+        else:
+            _rb = rebin
+        return _rb(d, d.px, d.py, d.pz, d.vx, d.vy, d.vz, params, spec)
+
+    out = {}
+    d2 = ph_density(dstate)
+    out["grid_build_ms"], _ = _scan_timed(ph_occ, dstate, sub, n)
+    out["density_ms"], _ = _scan_timed(ph_density, dstate, sub, n)
+    out["force_ms"], _ = _scan_timed(ph_force, d2, sub, n)
+    out["integrate_ms"], _ = _scan_timed(ph_integrate, d2, sub, n)
+    out["rebin_ms"], _ = _scan_timed(ph_rebin, d2, sub, n)
     out["rebin_amortized_ms"] = out["rebin_ms"] / max(params.rebin_every, 1)
-    out["total_ms"] = (
-        out["grid_build_ms"] + out["density_ms"] + out["force_ms"]
-        + out["integrate_ms"] + out["rebin_amortized_ms"]
-    )
+    out["full_step_ms"], _ = _scan_timed(
+        lambda d: dense_step(d, params, spec), dstate, sub, n)
+    out["total_ms"] = out["full_step_ms"]
     return {k: round(v, 3) for k, v in out.items()}

@@ -12,7 +12,7 @@ def test_step_breakdown_reports_phases(tmp_path):
     params = params.replace(dense_k=4, cell_factor=1.2)
     spec = make_dense_spec(params, k=4, cell_factor=1.2)
     d = pack(state, params, spec)
-    bd = step_breakdown(d, params, spec, n=1)
+    bd = step_breakdown(d, params, spec, n=1, sub=2)
     for key in ("grid_build_ms", "density_ms", "force_ms", "integrate_ms",
                 "rebin_ms", "total_ms"):
         assert key in bd and np.isfinite(bd[key]) and bd[key] >= 0
