@@ -129,11 +129,32 @@ def filter_bonds(state: SimState) -> BondTable:
     C↔(A|B) bond are exempt; bonds created this step are exempt; ties keep
     the lowest bond index (the reference's stable OrderBy keeps list order).
 
-    Structured for the TPU's descriptor-bound gather/scatter path (measured
-    ~13× between per-column and wide-row gathers at bench scale): both
-    endpoints ride one [2B] key vector, per-group stats are one row
-    segment-sum + two segment-mins, and the per-bond lookbacks are two
+    The reference runs this every frame, but the pass is a FIXED POINT two
+    steps after the last bond creation/rewrite: removal is permanent, zones
+    freeze one step after creation (update_bond_zones), and every rewrite
+    path (division inheritance, inserts) stamps created_step = the current
+    step. So once a prune has run on a settled table, every group is a
+    singleton or mixed-exempt and the verdict is a no-op REGARDLESS of how
+    positions move. Settled steps (the vast majority — this pass measured
+    ~13 ms/step at a 100k colony) skip straight through a lax.cond; the
+    equivalence is asserted step-by-step in
+    tests/test_biology.py::test_filter_bonds_settled_gate_is_exact.
+
+    The active pass is structured for the TPU's descriptor-bound
+    gather/scatter path (measured ~13× between per-column and wide-row
+    gathers at bench scale): both endpoints ride one [2B] key vector,
+    per-group stats are segment-mins, and the per-bond lookbacks are two
     8-wide row gathers instead of eight column gathers."""
+    b = state.bonds
+    dirty = jnp.any(
+        b.active & (b.created_step >= state.step_count - 2)
+    )
+    return jax.lax.cond(
+        dirty, lambda: _filter_bonds_active(state), lambda: b
+    )
+
+
+def _filter_bonds_active(state: SimState) -> BondTable:
     b = state.bonds
     N = state.capacity
     B = b.capacity

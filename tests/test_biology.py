@@ -147,7 +147,12 @@ def test_timer_resets_even_when_deferred():
 
 
 def make_bond(b, i, uid_a, uid_b, slot_a, slot_b, zone_a, zone_b,
-              created_step=-5):
+              created_step=8):
+    # Default created_step = 8 with the tests' step_count = 10: eligible
+    # (created < step) AND within filter_bonds' settled-gate window
+    # (created >= step − 2) — hand-built tables bypass the division paths
+    # that normally stamp created_step, so they must look freshly touched
+    # for the prune to run (as any real mutation would make them).
     return b.replace_fields(
         active=b.active.at[i].set(True),
         uid_a=b.uid_a.at[i].set(uid_a),
@@ -268,3 +273,43 @@ def test_bond_inheritance_resets_bond_freshness():
     assert int(out.created_step[0]) == 9
     assert not bool(out.anchors_set[0])
     assert not bool(out.child_to_child[0])
+
+
+def test_filter_bonds_settled_gate_is_exact():
+    """filter_bonds skips its prune on settled tables (no bond touched
+    within 2 steps) through a lax.cond. Assert the skip is EXACT: at every
+    step of the reference scenario's first two division waves, the gated
+    pass equals the ungated prune applied to the same state — i.e. the
+    prune really is a fixed point once the table settles."""
+    from sph_tpu import Simulation
+    from sph_tpu.biology.bonds import _filter_bonds_active, filter_bonds
+    from sph_tpu.engine.config import reference_genome, reference_scene_params
+
+    params = reference_scene_params(capacity=32).replace(
+        dt=1 / 60, max_splits_per_step=8, max_bonds=128)
+    sim = Simulation(reference_genome(), params, auto_grow=False)
+
+    # Windows: around both division waves (bond churn) and deep-settled.
+    windows = (
+        set(range(296, 314)) | set(range(596, 614)) | set(range(450, 456))
+    )
+    checked_settled = checked_dirty = 0
+    for t in range(614):
+        if t in windows:
+            st = sim.state
+            gated = filter_bonds(st)
+            full = _filter_bonds_active(st)
+            np.testing.assert_array_equal(
+                np.asarray(gated.active), np.asarray(full.active),
+                err_msg=f"step {t}",
+            )
+            if bool(jnp.any(st.bonds.active
+                            & (st.bonds.created_step
+                               >= st.step_count - 2))):
+                checked_dirty += 1
+            elif int(jnp.sum(st.bonds.active)) > 0:
+                checked_settled += 1
+        sim.step(1)
+
+    assert checked_dirty >= 2      # prune actually ran around divisions
+    assert checked_settled >= 2    # and the settled no-op claim was tested

@@ -286,7 +286,9 @@ def test_filter_bonds_tie_keeps_lowest_index():
         uid_b=jnp.where(jnp.arange(B) == 0, 1, 2).astype(jnp.int32),
         zone_a=jnp.zeros(B, jnp.int32),
         zone_b=jnp.zeros(B, jnp.int32),
-        created_step=jnp.zeros(B, jnp.int32),
+        # Eligible (created < step) and inside the settled-gate window
+        # (created >= step − 2): hand-built rows bypass the stamping paths.
+        created_step=jnp.full(B, 99, jnp.int32),
     )
     st = st.replace_fields(bonds=b)
     out_j = filter_bonds(st)
