@@ -1,8 +1,13 @@
 """Multi-chip spatial domain decomposition (BASELINE config[4]).
 
-The dense layout [N0, N1, L] (sph_tpu.sph.dense) is sharded over layout dim 0
-(world x in 3D) across a 1D device mesh; each step exchanges one-plane halos
-with the two neighbors over ICI via `jax.lax.ppermute` inside `shard_map`.
+The dense layout [N0, K, C=Y·X] (sph_tpu.sph.dense) is sharded over layout
+dim 0 (world x in 3D) across a 1D device mesh — or, for larger meshes,
+over BOTH layout dim 0 and the row blocks of the fused axis (world y)
+across a 2D (pz × py) mesh (`make_sharded_dense_step_2d`). Each step
+exchanges one-plane / one-row halos with the neighbors over ICI via
+`jax.lax.ppermute` inside `shard_map`; 2D corner cells arrive transitively
+(rows padded first, then planes — the plane exchange ships row-padded
+boundary planes).
 
 Why this is correct with zero special cases: the unsharded engine's rolls
 wrap around dim 0 into the sentinel margin ring. Under a wrapping ppermute
@@ -228,6 +233,231 @@ def make_sharded_dense_step(params: SPHParams, spec: DenseSpec, mesh: Mesh,
         )
 
     return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# 2D decomposition: plane slabs (layout dim 0 = world x) × row blocks
+# (layout dim 1 = world y, contiguous X-lane groups of the fused axis).
+#
+# Row halos ride the fused axis: each shard ships its boundary ROW (X lanes)
+# to its ±y neighbors and embeds the received rows inside a 7-sentinel-row
+# pad — [7·sent | halo | local rows | halo | 7·sent] — so the padded fused
+# axis stays a multiple of 128 (rows_local + 16 ≡ 0 mod 8, X ≡ 0 mod 16)
+# and the Pallas sub-chunk machinery runs unchanged on a derived local spec.
+# Only 1 row of real data crosses the wire per side; the sentinel filler is
+# local. Pad ORDER is y first, then z: the z exchange then ships y-padded
+# boundary planes, which is exactly how corner-neighbor cells (dz=±1,
+# dy=±1) reach the diagonal shard transitively — no explicit corner sends.
+# The wrapping rings stay inert for the same reason as 1D: global-edge
+# halos resolve to the opposite edge's sentinel margin.
+# ---------------------------------------------------------------------------
+
+
+def exchange_row_halo(arr: jnp.ndarray, X: int, axis_name: str,
+                      sent_fill: float) -> jnp.ndarray:
+    """[P, K, C_local] → [P, K, C_local + 16·X]: ±1 real halo row from the
+    y-neighbors, wrapped in 7 sentinel rows per side (alignment filler)."""
+    n = jax.lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]   # send toward +y
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    left = jax.lax.ppermute(arr[:, :, -X:], axis_name, fwd)
+    right = jax.lax.ppermute(arr[:, :, :X], axis_name, bwd)
+    sent = jnp.full(arr.shape[:2] + (7 * X,), sent_fill, arr.dtype)
+    return jnp.concatenate([sent, left, arr, right, sent], axis=2)
+
+
+def _local_step_2d(d: DenseFluidState, params: SPHParams, spec: DenseSpec,
+                   local_spec: DenseSpec, za: str, ya: str
+                   ) -> DenseFluidState:
+    """One step on a (plane-slab × row-block) local state. Mirrors
+    _local_step; every halo pad is y-rows first, then z-planes."""
+    X = spec.X
+    fills = _pad_fill(params)
+
+    def ex2(arr, field):
+        a = exchange_row_halo(arr, X, ya, fills[field])
+        return exchange_halo(a, za)
+
+    def pad_state(st, fields):
+        return st.replace_fields(
+            **{f: ex2(getattr(st, f), f) for f in fields}
+        )
+
+    dp = pad_state(d, ("px", "py", "pz", "occ"))
+    occ_t_pad = None
+    if params.use_pallas:
+        from sph_tpu.ops.pallas.fluid import density_pallas, tile_occupancy
+
+        occ_t_pad = tile_occupancy(dp.occ, local_spec)
+        rho_p = density_pallas(dp.px, dp.py, dp.pz, dp.occ, params,
+                               local_spec, occ_t=occ_t_pad)
+    else:
+        rho_p = density_pass(dp, params, local_spec)
+    rho_p = jnp.where(
+        dp.occ > 0.5, jnp.maximum(rho_p, 1e-6), params.rest_density
+    )
+    prs_p = jnp.where(dp.occ > 0.5, eos_pressure(rho_p, params), 0.0)
+
+    def interior(a):
+        return a[1:-1, :, 8 * X:-8 * X]
+
+    rho_own = interior(rho_p)
+    prs_own = interior(prs_p)
+    dp = dp.replace_fields(
+        vx=ex2(d.vx, "vx"), vy=ex2(d.vy, "vy"), vz=ex2(d.vz, "vz"),
+        rho=ex2(rho_own, "rho"), prs=ex2(prs_own, "prs"),
+    )
+    if params.use_pallas:
+        from sph_tpu.ops.pallas.fluid import accel_pallas
+
+        pr2 = dp.prs / (dp.rho * dp.rho)
+        ax, ay, az = accel_pallas(dp, pr2, params, local_spec,
+                                  occ_t=occ_t_pad)
+    else:
+        ax, ay, az = accel_pass(dp, params, local_spec)
+
+    dpi = d.replace_fields(rho=rho_own, prs=prs_own)
+    px, py, pz, vx, vy, vz, n_clamped = _integrate(
+        dp, ax, ay, az, params, rebin_vmax(params, spec),
+    )
+    n_clamped = jax.lax.psum(jax.lax.psum(n_clamped, za), ya)
+    px, py, pz = interior(px), interior(py), interior(pz)
+    vx, vy, vz = interior(vx), interior(vy), interior(vz)
+
+    rows_local = d.px.shape[2] // X
+
+    def do_rebin(args):
+        px, py, pz, vx, vy, vz = args
+        dpad = pad_state(
+            dpi.replace_fields(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz),
+            ("px", "py", "pz", "vx", "vy", "vz", "occ"),
+        )
+        p_local = px.shape[0]
+        off0 = jax.lax.axis_index(za) * p_local - 1
+        # Padded row r maps to global row (block start − 8 + r): the first
+        # local row sits at padded row 8.
+        off1 = jax.lax.axis_index(ya) * rows_local - 8
+        out = rebin(
+            dpad, dpad.px, dpad.py, dpad.pz, dpad.vx, dpad.vy, dpad.vz,
+            params, spec, dim0_offset=off0, dim1_offset=off1,
+        )
+        local_drops = out.dropped - dpi.dropped
+        total_drops = jax.lax.psum(jax.lax.psum(local_drops, za), ya)
+        return dpi.replace_fields(
+            px=interior(out.px), py=interior(out.py), pz=interior(out.pz),
+            vx=interior(out.vx), vy=interior(out.vy), vz=interior(out.vz),
+            occ=interior(out.occ),
+            dropped=dpi.dropped + total_drops,
+        )
+
+    def no_rebin(args):
+        px, py, pz, vx, vy, vz = args
+        return dpi.replace_fields(px=px, py=py, pz=pz,
+                                  vx=vx, vy=vy, vz=vz)
+
+    if params.rebin_every == 1:
+        d = do_rebin((px, py, pz, vx, vy, vz))
+    else:
+        d = jax.lax.cond(
+            d.step_count % params.rebin_every == params.rebin_every - 1,
+            do_rebin, no_rebin, (px, py, pz, vx, vy, vz),
+        )
+    return d.replace_fields(
+        step_count=d.step_count + 1, clamped=d.clamped + n_clamped
+    )
+
+
+def make_sharded_dense_step_2d(params: SPHParams, spec: DenseSpec,
+                               mesh: Mesh, substeps: int = 1,
+                               donate: bool = True):
+    """Jitted 2D-decomposed step over a (pz, py) mesh: layout dim 0 (world
+    x planes) over mesh axis 0, layout dim 1 (world y rows, inside the
+    fused axis) over mesh axis 1. Uneven n0/n1 are padded with inert
+    sentinel planes/rows past the top margins, exactly like the 1D path."""
+    import dataclasses
+
+    from sph_tpu.sph.dense import _check_rebin_cadence
+
+    assert spec.ndim == 3 and spec.stencil0 and spec.stencil1, (
+        "2D decomposition needs a 3D spec with both stencils"
+    )
+    _check_rebin_cadence(params, spec)
+    za, ya = mesh.axis_names
+    pz, py = mesh.devices.shape
+    X = spec.X
+
+    pad0 = (-spec.n0) % pz
+    # Row blocks must be whole multiples of 8 rows so every local fused
+    # axis (rows_local + 16)·X stays a multiple of 128 (X ≡ 0 mod 16).
+    n1_tgt = -(-spec.n1 // (8 * py)) * (8 * py)
+    pad1_rows = n1_tgt - spec.n1
+    rows_local = n1_tgt // py
+    local_spec = dataclasses.replace(spec, n1=rows_local + 16)
+    assert local_spec.C % 128 == 0, (rows_local, X)
+
+    def local(d):
+        if substeps == 1:
+            return _local_step_2d(d, params, spec, local_spec, za, ya)
+        return jax.lax.scan(
+            lambda s, _: (
+                _local_step_2d(s, params, spec, local_spec, za, ya), None
+            ),
+            d, None, length=substeps,
+        )[0]
+
+    arr = P(za, None, ya)
+    spec_in = DenseFluidState(
+        px=arr, py=arr, pz=arr, vx=arr, vy=arr, vz=arr, occ=arr,
+        rho=arr, prs=arr, dropped=P(), clamped=P(), step_count=P(),
+    )
+    f_shard = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec_in,), out_specs=spec_in,
+        check_vma=False,
+    )
+
+    fills = _pad_fill(params)
+
+    def f(d):
+        if pad0 or pad1_rows:
+            def padf(x, v):
+                if pad1_rows:
+                    ext = x.shape[:2] + (pad1_rows * X,)
+                    x = jnp.concatenate(
+                        [x, jnp.full(ext, v, jnp.float32)], axis=2
+                    )
+                if pad0:
+                    ext = (pad0,) + x.shape[1:]
+                    x = jnp.concatenate(
+                        [x, jnp.full(ext, v, jnp.float32)], axis=0
+                    )
+                return x
+
+            d = d.replace_fields(
+                **{k: padf(getattr(d, k), v) for k, v in fills.items()}
+            )
+        out = f_shard(d)
+        if pad0 or pad1_rows:
+            out = out.replace_fields(
+                **{
+                    k: getattr(out, k)[: spec.n0, :, : spec.C]
+                    for k in fills
+                }
+            )
+        return out
+
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
+def make_mesh_2d(shape: tuple[int, int], devices=None,
+                 axis_names=("x", "y")) -> Mesh:
+    """(pz, py) mesh, slice-major device order (same DCN-seam policy as
+    make_multislice_mesh: the slower-varying axis crosses slices)."""
+    import numpy as np
+
+    devices = list(jax.devices() if devices is None else devices)
+    devices.sort(key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id))
+    n = shape[0] * shape[1]
+    return Mesh(np.array(devices[:n]).reshape(shape), axis_names)
 
 
 def make_sharded_contact_forces(params, mesh: Mesh, spec=None,

@@ -569,7 +569,7 @@ def _compact_stage(fields, occ, own_coord, target_fn, axis_roll,
 
 
 def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
-          spec: DenseSpec, dim0_offset=0) -> DenseFluidState:
+          spec: DenseSpec, dim0_offset=0, dim1_offset=0) -> DenseFluidState:
     """Move particles to their new home cells, one axis at a time (x, y, z).
 
     Per-step drift is ≤ 1 cell (the velocity clamp in dense_step enforces
@@ -605,9 +605,9 @@ def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
     occ = d.occ
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
     own_2 = iota_c % X
-    own_1 = iota_c // X
-    # dim0 indices are GLOBAL: sharded callers pass the slab's offset so
-    # migration targets (world cell coords) compare correctly.
+    # dim0/dim1 indices are GLOBAL: sharded callers pass their slab/row-block
+    # offsets so migration targets (world cell coords) compare correctly.
+    own_1 = dim1_offset + iota_c // X
     own_0 = dim0_offset + jax.lax.broadcasted_iota(jnp.int32, (Z, 1, 1), 0)
 
     def roll_c(step_cells):

@@ -220,3 +220,63 @@ def test_sharded_contact_forces_bit_equal():
     assert float(jnp.abs(f1).max()) > 0  # colony really interacts
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f8))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t8))
+
+
+def test_2d_decomposition_matches_single_device():
+    """2D (plane-slab × row-block) decomposition over a 2×4 mesh matches
+    the single-device run across rebins, with cross-shard migration on
+    BOTH mesh axes. Row halos ride the fused axis inside a 7-sentinel-row
+    pad; corner cells arrive transitively (y pad first, then z)."""
+    import dataclasses
+
+    from sph_tpu.parallel.dist import make_mesh_2d, make_sharded_dense_step_2d
+
+    state, params = random_fluid(400, seed=3)
+    spec = make_dense_spec(params, k=4, cell_factor=1.3)
+    d0 = pack(state, params, spec)
+    ref = make_dense_step(params, spec, substeps=SUBSTEPS, donate=False)(d0)
+
+    mesh = make_mesh_2d((2, 4), jax.devices()[:8])
+    out = make_sharded_dense_step_2d(
+        params, spec, mesh, substeps=SUBSTEPS, donate=False
+    )(d0)
+    assert out.px.shape == ref.px.shape
+    _assert_state_matches(ref, out)
+    assert int(out.dropped) == 0
+
+    # Migration across ROW blocks (the y axis this test is really about):
+    X = spec.X
+    occ0 = np.asarray(d0.occ).reshape(d0.occ.shape[0], d0.occ.shape[1],
+                                      -1, X).sum(axis=(0, 1, 3))
+    occ1 = np.asarray(ref.occ).reshape(*occ0.shape[:0], d0.occ.shape[0],
+                                       d0.occ.shape[1], -1, X
+                                       ).sum(axis=(0, 1, 3))
+    assert (occ0 != occ1).any()
+
+
+def test_2d_decomposition_pallas_path():
+    """Same 2×4 decomposition through the Pallas kernels (interpret mode on
+    CPU): the derived local spec (rows_local + 16 rows) must satisfy the
+    sub-chunk machinery and match the XLA-twin sharded run."""
+    import dataclasses
+
+    from sph_tpu.parallel.dist import make_mesh_2d, make_sharded_dense_step_2d
+
+    state, params = random_fluid(400, seed=5)
+    spec = make_dense_spec(params, k=4, cell_factor=1.3)
+    d0 = pack(state, params, spec)
+    mesh = make_mesh_2d((2, 4), jax.devices()[:8])
+    sub = 3
+    out_x = make_sharded_dense_step_2d(
+        params, spec, mesh, substeps=sub, donate=False
+    )(d0)
+    out_p = make_sharded_dense_step_2d(
+        params.replace(use_pallas=True), spec, mesh,
+        substeps=sub, donate=False,
+    )(d0)
+    np.testing.assert_array_equal(np.asarray(out_x.occ),
+                                  np.asarray(out_p.occ))
+    np.testing.assert_allclose(np.asarray(out_x.px), np.asarray(out_p.px),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_x.vy), np.asarray(out_p.vy),
+                               rtol=1e-5, atol=1e-6)
