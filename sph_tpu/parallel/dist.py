@@ -532,6 +532,100 @@ def make_sharded_contact_forces(params, mesh: Mesh, spec=None,
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 
 
+def make_sharded_contact_forces_2d(params, mesh: Mesh, spec=None,
+                                   donate: bool = False):
+    """2D (z-slab × y-block) decomposition of the contact sweep over a
+    (pz, py) mesh. The colony layout [Z, Y, X·K] has Y as a real array
+    axis (sublanes), so the y halo is a plain ±1-row ppermute, embedded in
+    a 3-sentinel-row pad per side (local NY + 8 keeps the row-block
+    machinery's NY % 8 == 0 contract). Pad order y then z, so corner cells
+    arrive transitively. Interior results are BITWISE equal to the
+    single-device sweep by the same argument as the 1D ring."""
+    from sph_tpu.physics.contact_dense import (
+        _pack_args,
+        contact_pair_terms,
+        make_contact_spec,
+    )
+
+    if spec is None:
+        spec = make_contact_spec(
+            params, k=params.dense_k, cell_factor=params.dense_cell_factor
+        )
+    za, ya = mesh.axis_names
+    pz, py = mesh.devices.shape
+    NZ, NY = spec.nz, spec.ny
+    pad0 = (-NZ) % pz
+    ny_tgt = -(-NY // (8 * py)) * (8 * py)
+    pad1 = ny_tgt - NY
+    rows_local = ny_tgt // py
+
+    def ex_y(arr, fill):
+        n = jax.lax.axis_size(ya)
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        top = jax.lax.ppermute(arr[:, -1:], ya, fwd)
+        bot = jax.lax.ppermute(arr[:, :1], ya, bwd)
+        sent = jnp.full(
+            (arr.shape[0], 3) + arr.shape[2:], fill, arr.dtype
+        )
+        return jnp.concatenate([sent, top, arr, bot, sent], axis=1)
+
+    def sweep_local(*args):
+        from sph_tpu.ops.pallas.contact import contact_sweep_pallas
+
+        fields, occ = args[:-1], args[-1]
+        fills = (SENTINEL,) * 3 + (0.0,) * 6 + (1.0,)
+        padded = tuple(
+            exchange_halo(ex_y(f, fill), za)
+            for f, fill in zip(fields, fills)
+        )
+        occ_p = exchange_halo(ex_y(occ, 0.0), za)
+        import dataclasses
+
+        lspec = dataclasses.replace(spec, ny=rows_local + 8)
+        pair = lambda *a: contact_pair_terms(params, *a)  # noqa: E731
+        comps = contact_sweep_pallas(padded, occ_p, lspec, pair, ncomp=6)
+        return tuple(c[1:-1, 4:4 + rows_local] for c in comps)
+
+    arr = P(za, ya, None)
+    f_shard = jax.shard_map(
+        sweep_local, mesh=mesh,
+        in_specs=(arr,) * 11, out_specs=(arr,) * 6,
+        check_vma=False,
+    )
+
+    def f(state):
+        fields, occ, slot_of, overflow = _pack_args(state, spec)
+
+        def padf(x, fill):
+            if pad1:
+                ext = (x.shape[0], pad1) + x.shape[2:]
+                x = jnp.concatenate(
+                    [x, jnp.full(ext, fill, jnp.float32)], axis=1
+                )
+            if pad0:
+                ext = (pad0,) + x.shape[1:]
+                x = jnp.concatenate(
+                    [x, jnp.full(ext, fill, jnp.float32)], axis=0
+                )
+            return x
+
+        fills = (SENTINEL,) * 3 + (0.0,) * 6 + (1.0,)
+        fields = tuple(padf(f_, fl) for f_, fl in zip(fields, fills))
+        occ = padf(occ, 0.0)
+        comps = f_shard(*fields, occ)
+        # slot_of indexes the UNPADDED [NZ, NY, L] flat layout.
+        table = jnp.stack(
+            [c[:NZ, :NY].reshape(-1) for c in comps], axis=-1
+        )
+        idx = jnp.minimum(slot_of, table.shape[0] - 1)
+        valid = (slot_of < table.shape[0])[:, None].astype(jnp.float32)
+        ft = table[idx] * valid
+        return ft[:, :3], ft[:, 3:], overflow
+
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
 def make_multislice_mesh(devices=None, axis_name: str = "x") -> Mesh:
     """1D slab mesh ordered slice-major: within the ppermute halo ring,
     consecutive slabs stay inside one slice wherever possible, so DCN

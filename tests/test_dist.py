@@ -280,3 +280,38 @@ def test_2d_decomposition_pallas_path():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out_x.vy), np.asarray(out_p.vy),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_contact_forces_2d_bit_equal():
+    """Contact sweep over a 2D (z-slab × y-block) 2×4 mesh is bitwise
+    equal to the single-device path: y halos are plain ±1-row ppermutes in
+    a 3-sentinel-row alignment pad, corners arrive transitively."""
+    from sph_tpu.core.types import SimParams, SimState
+    from sph_tpu.parallel.dist import (
+        make_mesh_2d,
+        make_sharded_contact_forces_2d,
+    )
+    from sph_tpu.physics.contact_dense import contact_forces_dense
+
+    n = 300
+    params = SimParams(
+        capacity=n, spawn_radius=10.0, neighbor_mode="dense",
+        dense_k=4, use_pallas=True,
+    )
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+    u = jax.random.normal(k1, (n, 3))
+    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    r = 9.0 * jax.random.uniform(k2, (n, 1)) ** (1 / 3)
+    st = SimState.zeros(n, params).replace_fields(
+        pos=u * r,
+        vel=jax.random.normal(k3, (n, 3)) * 0.5,
+        radius=jnp.full(n, 2.0),
+        active_count=jnp.int32(n),
+    )
+    f1, t1, o1 = jax.jit(lambda s: contact_forces_dense(s, params))(st)
+    mesh = make_mesh_2d((2, 4), jax.devices()[:8], axis_names=("z", "y"))
+    f8, t8, o8 = make_sharded_contact_forces_2d(params, mesh)(st)
+    assert int(o1) == int(o8) == 0
+    assert float(jnp.abs(f1).max()) > 0
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f8))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t8))
