@@ -303,10 +303,22 @@ def _bench_4m_multichip():
     import sys
 
     code = (
-        "import jax, numpy as np\n"
+        # The session sitecustomize pre-imports jax pinned to the axon
+        # platform, so env vars alone cannot move the child to CPU — go
+        # through jax.config (same trick as tests/conftest.py), and ASSERT
+        # the mesh is real: a silent 1-device fallback would record a
+        # vacuous 'ok' (this happened — the round-2/3 dryrun_8way rows
+        # before this fix ran 1-way on the TPU backend).
+        "import os; os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_num_cpu_devices', 8)\n"
+        "assert jax.default_backend() == 'cpu', jax.default_backend()\n"
+        "assert jax.device_count() >= 8, jax.device_count()\n"
+        "import numpy as np\n"
         "from jax.sharding import Mesh\n"
-        "from sph_tpu.parallel.dist import make_sharded_dense_step, "
-        "shard_dense_state\n"
+        "from sph_tpu.parallel.dist import (make_sharded_dense_step, "
+        "make_sharded_dense_step_2d, make_mesh_2d, shard_dense_state)\n"
         "from sph_tpu.sph.dense import make_dense_spec, pack\n"
         "from sph_tpu.sph.scenes import dam_break_3d\n"
         "state, params = dam_break_3d(n_target=65536)\n"
@@ -318,7 +330,12 @@ def _bench_4m_multichip():
         "d = f(shard_dense_state(pack(state, params, spec), mesh))\n"
         "jax.block_until_ready(d.px)\n"
         "assert int(d.dropped) == 0, int(d.dropped)\n"
-        "print('8-way dryrun OK', d.px.shape)\n"
+        "m2 = make_mesh_2d((2, 4), jax.devices()[:8])\n"
+        "f2 = make_sharded_dense_step_2d(params, spec, m2, substeps=3)\n"
+        "d2 = f2(pack(state, params, spec))\n"
+        "jax.block_until_ready(d2.px)\n"
+        "assert int(d2.dropped) == 0, int(d2.dropped)\n"
+        "print('8-way dryrun OK (1D ring + 2x4 mesh)', d.px.shape)\n"
     )
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
