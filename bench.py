@@ -404,11 +404,18 @@ def main():
         detail = {head_name: head}
 
     if args.cells:
-        for n, mode in ((10_240, "grid"), (10_240, "dense"),
-                        (102_400, "dense")):
+        for n, mode, steps, chunk in (
+            (10_240, "grid", 240, 120), (10_240, "dense", 240, 120),
+            (102_400, "dense", 240, 120),
+            # 100x the reference's 10k default capacity on ONE chip
+            # (~0.5 GiB of layout; 1.7M bonds) — scale row, short run.
+            (1_048_576, "dense", 40, 20),
+        ):
             key = f"cell colony {n//1024}k (contact+adhesion, {mode})"
             try:
-                detail[key] = _bench_cells(n, neighbor_mode=mode)
+                detail[key] = _bench_cells(
+                    n, steps=steps, chunk=chunk, neighbor_mode=mode
+                )
             except Exception as e:  # noqa: BLE001
                 detail[key] = {"error": str(e)[:200]}
 
