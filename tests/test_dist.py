@@ -315,3 +315,33 @@ def test_sharded_contact_forces_2d_bit_equal():
     assert float(jnp.abs(f1).max()) > 0
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f8))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t8))
+
+
+def test_2d_decomposition_autopad_uneven_dims():
+    """2D mesh where NEITHER dim divides evenly: n0=14 over pz=4 (pad 2
+    planes) and n1 forced to 40 over py=2 (pad 8 rows) — the internal
+    sentinel padding must keep results equal to single-device and shapes
+    round-tripped."""
+    import dataclasses
+
+    from sph_tpu.parallel.dist import make_mesh_2d, make_sharded_dense_step_2d
+
+    state, params = random_fluid(400, seed=7)
+    spec = make_dense_spec(params, k=4, cell_factor=1.3)
+    spec = dataclasses.replace(spec, n1=40)   # mult of 8, not of 16*py
+    d0 = pack(state, params, spec)
+    sub = 6
+    ref = make_dense_step(params, spec, substeps=sub, donate=False)(d0)
+
+    mesh = make_mesh_2d((4, 2), jax.devices()[:8])
+    assert spec.n0 % 4 != 0 and spec.n1 % (8 * 2 * 2) != 0
+    out = make_sharded_dense_step_2d(
+        params, spec, mesh, substeps=sub, donate=False
+    )(d0)
+    assert out.px.shape == ref.px.shape
+    np.testing.assert_array_equal(np.asarray(ref.occ), np.asarray(out.occ))
+    np.testing.assert_allclose(np.asarray(ref.px), np.asarray(out.px),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.vy), np.asarray(out.vy),
+                               rtol=1e-5, atol=1e-6)
+    assert int(out.dropped) == 0
