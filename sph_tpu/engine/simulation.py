@@ -42,6 +42,7 @@ class Simulation:
         auto_grow: bool = False,
         donate: bool = True,
         scan_chunk: int = 32,
+        mesh=None,
     ):
         self.genome = genome.validate_for_simulation()
         self.params = params
@@ -50,6 +51,7 @@ class Simulation:
         self.auto_grow = auto_grow
         self.donate = donate
         self.scan_chunk = max(1, scan_chunk)
+        self.contact_fn = self._make_contact_fn(mesh)
         self.genome_dev = self.genome.to_device()
         self._step_cache: dict[tuple, Callable] = {}
         self.state = init_particles(
@@ -66,16 +68,47 @@ class Simulation:
 
     # -- lifecycle ---------------------------------------------------------
 
+    def _make_contact_fn(self, mesh):
+        """Sharded contact sweep over a 1D z-slab ring or a 2D
+        (z-slab × y-block) device mesh (parallel/dist.py) — the biology
+        regime's spatial domain decomposition. Only the O(slots·k·variants)
+        sweep is decomposed; division/bond tables and integration stay
+        replicated (they are O(N) and topology-global). Bitwise equal to
+        the single-device step (tests/test_dist.py)."""
+        if mesh is None:
+            return None
+        if self.params.neighbor_mode != "dense":
+            raise ValueError(
+                "mesh-sharded contact requires neighbor_mode='dense' "
+                f"(got {self.params.neighbor_mode!r})"
+            )
+        from sph_tpu.parallel.dist import (
+            make_sharded_contact_forces,
+            make_sharded_contact_forces_2d,
+        )
+
+        if mesh.devices.ndim == 2:
+            return make_sharded_contact_forces_2d(
+                self.params, mesh, donate=False
+            )
+        return make_sharded_contact_forces(self.params, mesh, donate=False)
+
     def _stepper(self, chunk: int = 1):
         key = (self.params, self.state.capacity, chunk)
         if key not in self._step_cache:
             if chunk == 1:
-                fn = make_step_fn(self.params, donate=self.donate)
+                fn = make_step_fn(
+                    self.params, donate=self.donate,
+                    contact_fn=self.contact_fn,
+                )
             else:
                 from sph_tpu.engine.step import run_steps
 
                 fn = jax.jit(
-                    lambda st, gd: run_steps(st, self.params, gd, chunk),
+                    lambda st, gd: run_steps(
+                        st, self.params, gd, chunk,
+                        contact_fn=self.contact_fn,
+                    ),
                     donate_argnums=(0,) if self.donate else (),
                 )
             self._step_cache[key] = fn
@@ -101,7 +134,10 @@ class Simulation:
                 from sph_tpu.engine.step import step as _step
 
                 self._step_cache[key] = jax.jit(
-                    lambda st, gd, dt: _step(st, self.params, gd, dt=dt),
+                    lambda st, gd, dt: _step(
+                        st, self.params, gd, dt=dt,
+                        contact_fn=self.contact_fn,
+                    ),
                     donate_argnums=(0,) if self.donate else (),
                 )
             for d in dts:
@@ -340,6 +376,7 @@ class Simulation:
         sim.donate = True
         sim.scan_chunk = 32
         sim.genome_dev = genome.to_device()
+        sim.contact_fn = None
         sim._step_cache = {}
         sim.state = state
         sim._steps_per_sec = float("nan")

@@ -38,21 +38,31 @@ def contact_forces(state: SimState, params: SimParams):
 
 
 def step(state: SimState, params: SimParams, genome: GenomeDevice,
-         dt=None) -> SimState:
+         dt=None, contact_fn=None) -> SimState:
     """One full frame (DESIGN.md §3). `params` is static; jit with
     static_argnums/closure.
 
     `dt` (optional, traced scalar) overrides params.dt for every dt-dependent
     pass — the variable-dt compat mode mirroring the reference's
     `Time.deltaTime` stepping (ParticleSystemController.cs:246). Default
-    None = fixed params.dt (the recommended fidelity mode, SURVEY §7)."""
+    None = fixed params.dt (the recommended fidelity mode, SURVEY §7).
+
+    `contact_fn` (optional, `state -> (force, torque, overflow)`) overrides
+    the neighbor-sum dispatch — the hook the sharded biology step uses to
+    run the contact sweep decomposed over a device mesh
+    (parallel/dist.make_sharded_contact_forces[_2d]) while division, bonds
+    and integration stay replicated; results are bitwise equal either way
+    (tests/test_dist.py)."""
     # 1-2. Division: apply last step's queued splits, then advance timers and
     #      queue new ones (cs:253 runs before all dispatches).
     state = process_pending_splits(state, params, genome)
     state = queue_splits(state, params, genome, dt=dt)
 
     # 3-4. Neighbor structure + contact force pass (K2/K3/K4).
-    force, torque, cell_overflow = contact_forces(state, params)
+    if contact_fn is None:
+        force, torque, cell_overflow = contact_forces(state, params)
+    else:
+        force, torque, cell_overflow = contact_fn(state)
     state = apply_contact(state, params, force, torque, dt=dt)
     state = state.replace_fields(
         overflow=state.overflow + cell_overflow.astype(state.overflow.dtype)
@@ -78,27 +88,27 @@ def step(state: SimState, params: SimParams, genome: GenomeDevice,
 _STEP_CACHE: dict = {}
 
 
-def make_step_fn(params: SimParams, donate: bool = True):
+def make_step_fn(params: SimParams, donate: bool = True, contact_fn=None):
     """Build a jitted step closure over static params.
 
-    Memoized on (params, donate) so every Simulation with equal params shares
-    one compiled executable (per state shape, via jit's own cache).
-    """
-    key = (params, donate)
+    Memoized on (params, donate, contact_fn) so every Simulation with equal
+    params shares one compiled executable (per state shape, via jit's own
+    cache); `contact_fn` keys by identity (one per mesh)."""
+    key = (params, donate, contact_fn)
     if key not in _STEP_CACHE:
-        f = lambda st, gd: step(st, params, gd)  # noqa: E731
+        f = lambda st, gd: step(st, params, gd, contact_fn=contact_fn)  # noqa: E731
         _STEP_CACHE[key] = jax.jit(f, donate_argnums=(0,) if donate else ())
     return _STEP_CACHE[key]
 
 
 def run_steps(state: SimState, params: SimParams, genome: GenomeDevice,
-              n_steps: int, dts=None) -> SimState:
+              n_steps: int, dts=None, contact_fn=None) -> SimState:
     """Roll n physics steps with lax.scan (for benchmarking / headless runs).
 
     dts: optional [n_steps] array of per-step dt values (variable-dt compat,
     cs:246); None = fixed params.dt."""
     def body(st, dt):
-        return step(st, params, genome, dt=dt), None
+        return step(st, params, genome, dt=dt, contact_fn=contact_fn), None
 
     state, _ = jax.lax.scan(body, state, dts, length=n_steps)
     return state

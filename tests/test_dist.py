@@ -345,3 +345,51 @@ def test_2d_decomposition_autopad_uneven_dims():
     np.testing.assert_allclose(np.asarray(ref.vy), np.asarray(out.vy),
                                rtol=1e-5, atol=1e-6)
     assert int(out.dropped) == 0
+
+
+def test_sharded_full_colony_step_bit_equal():
+    """The FULL biology step (division + contact + adhesion + integration +
+    bond rewrite) with the contact sweep decomposed over a mesh
+    (Simulation(mesh=...)) is BITWISE equal to the single-device run —
+    across a real division window (16 armed timers split mid-run, bonds
+    are inherited and pruned), on both the 1D z-slab ring and the 2×4
+    (z-slab × y-block) mesh."""
+    from sph_tpu.engine.colony import bonded_colony
+    from sph_tpu.parallel.dist import make_mesh_2d
+
+    from sph_tpu import Simulation
+
+    def final_state(mesh):
+        state, params, genome = bonded_colony(
+            256, neighbor_mode="dense", dense_k=2, use_pallas=True,
+            max_splits_per_step=32,
+        )
+        sim = Simulation(genome, params, auto_grow=False, donate=False,
+                         scan_chunk=4, mesh=mesh)
+        sim.state = state
+        sim.resize(320)   # headroom so the armed splits actually apply
+        interval = genome.modes[0].split_interval
+        timer = sim.state.split_timer.at[:16].set(
+            jnp.float32(interval - 2 * params.dt)
+        )
+        sim.state = sim.state.replace_fields(split_timer=timer)
+        sim.step(8)
+        return sim.state
+
+    ref = final_state(None)
+    assert int(ref.active_count) == 256 + 16   # the splits really fired
+    for mesh in (mesh_1d(8), make_mesh_2d((4, 2), jax.devices()[:8],
+                                          axis_names=("z", "y"))):
+        out = final_state(mesh)
+        assert int(out.active_count) == int(ref.active_count)
+        for f in ("pos", "vel", "rot", "ang_vel", "split_timer", "uid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, f)), np.asarray(getattr(out, f)),
+                err_msg=f,
+            )
+        for f in ("active", "slot_a", "slot_b", "zone_a", "zone_b"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref.bonds, f)),
+                np.asarray(getattr(out.bonds, f)), err_msg=f"bonds.{f}",
+            )
+        assert int(out.overflow) == 0
