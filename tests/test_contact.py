@@ -3,6 +3,7 @@ values from SimulateParticles.compute:211-309)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sph_tpu.core.types import SimParams, SimState
 from sph_tpu.physics.contact import (
@@ -256,3 +257,72 @@ def test_simulation_runs_with_dense_neighbor_mode():
         rtol=1e-3, atol=1e-3,
     )
     assert int(b.state.overflow) == 0
+
+
+@pytest.mark.parametrize("k", [1, 2, 8])
+def test_dense_contact_matches_bruteforce_k_ladder(k):
+    """The dense sweep must agree with the brute-force spec across the k
+    ladder — catching k-dependent layout/padding bugs (the class the
+    round-2 advisor flagged in the fluid spec's lane_mult). k=1 runs a
+    random crowded ball where one-slot cells MUST overflow (loud count,
+    finite outputs); k=2 (the colony-specced production config, ≤2
+    centers per contact-range cell by scene design) runs its own state
+    class: sparse touching PAIRS — contacts fire in every pair, and a
+    pair sharing one cell fills exactly its 2 slots; k=8 (the
+    fluid-shared config) runs the random ball overflow-free."""
+    import jax
+
+    from sph_tpu.physics.contact_dense import contact_forces_dense
+
+    if k == 2:
+        n = 128
+        params = SimParams(
+            capacity=n, spawn_radius=40.0, neighbor_mode="dense",
+            dense_k=2,
+        )
+        # 64 pair centers on a coarse lattice (spacing 9 ≫ 2 cells), each
+        # pair 1.9 apart along a random direction (< contact reach 2.0).
+        g = jnp.arange(-3, 4, dtype=jnp.float32) * 9.0
+        centers = jnp.stack(
+            jnp.meshgrid(g, g, g, indexing="ij"), axis=-1
+        ).reshape(-1, 3)
+        centers = centers[
+            jax.random.permutation(jax.random.PRNGKey(5), centers.shape[0])
+        ][: n // 2]
+        u = jax.random.normal(jax.random.PRNGKey(6), (n // 2, 3))
+        u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+        pos = jnp.concatenate(
+            [centers + 0.95 * u, centers - 0.95 * u]
+        )
+        st = SimState.zeros(n, params).replace_fields(
+            pos=pos,
+            vel=jax.random.normal(jax.random.PRNGKey(7), (n, 3)) * 0.5,
+            ang_vel=jax.random.normal(jax.random.PRNGKey(8), (n, 3)) * 0.5,
+            radius=jnp.full(n, 2.0),
+            active_count=jnp.int32(n),
+        )
+    else:
+        st, params = _random_colony(n=200, seed=k)
+        params = params.replace(dense_k=k)
+    fb, tb = contact_forces_bruteforce(st, params)
+    fd, td, ovf = jax.jit(
+        lambda s: contact_forces_dense(s, params)
+    )(st)
+    if k == 1:
+        # One-slot cells on a crowded ball: the surplus is COUNTED, never
+        # silent, and the resident subset still produces finite outputs.
+        assert int(ovf) > 0
+        assert bool(jnp.all(jnp.isfinite(fd))) and bool(
+            jnp.all(jnp.isfinite(td))
+        )
+        return
+    assert int(ovf) == 0
+    f_scale = float(jnp.abs(fb).max())
+    t_scale = float(jnp.abs(tb).max())
+    assert f_scale > 0 and t_scale > 0
+    np.testing.assert_allclose(
+        np.asarray(fd), np.asarray(fb), atol=2e-4 * f_scale, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(td), np.asarray(tb), atol=2e-4 * t_scale, rtol=2e-4
+    )
