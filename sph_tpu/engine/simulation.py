@@ -363,7 +363,7 @@ class Simulation:
         save_checkpoint(path, self.state, self.params, self.genome)
 
     @classmethod
-    def load(cls, path: str) -> "Simulation":
+    def load(cls, path: str, mesh=None) -> "Simulation":
         from sph_tpu.engine.checkpoint import load_checkpoint
 
         state, params, genome = load_checkpoint(path)
@@ -376,7 +376,7 @@ class Simulation:
         sim.donate = True
         sim.scan_chunk = 32
         sim.genome_dev = genome.to_device()
-        sim.contact_fn = None
+        sim.contact_fn = sim._make_contact_fn(mesh)
         sim._step_cache = {}
         sim.state = state
         sim._steps_per_sec = float("nan")

@@ -393,3 +393,34 @@ def test_sharded_full_colony_step_bit_equal():
                 np.asarray(getattr(out.bonds, f)), err_msg=f"bonds.{f}",
             )
         assert int(out.overflow) == 0
+
+
+def test_checkpoint_restore_into_mesh_sim(tmp_path):
+    """save() on a single-device sim, load(mesh=...) into a mesh-sharded
+    one: stepping both produces bitwise-equal states (the sharded sweep
+    contract survives the checkpoint boundary)."""
+    from sph_tpu.engine.colony import bonded_colony
+
+    from sph_tpu import Simulation
+
+    state, params, genome = bonded_colony(
+        128, neighbor_mode="dense", dense_k=2, use_pallas=False,
+    )
+    sim = Simulation(genome, params, donate=False, scan_chunk=4)
+    sim.state = state
+    sim.step(4)
+    path = str(tmp_path / "colony.npz")
+    sim.save(path)
+
+    plain = Simulation.load(path)
+    sharded = Simulation.load(path, mesh=mesh_1d(8))
+    assert sharded.contact_fn is not None and plain.contact_fn is None
+    plain.donate = sharded.donate = False
+    plain.step(4)
+    sharded.step(4)
+    np.testing.assert_array_equal(
+        np.asarray(plain.state.pos), np.asarray(sharded.state.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.state.rot), np.asarray(sharded.state.rot)
+    )
