@@ -372,6 +372,37 @@ CONFIGS = {
 }
 
 
+def _backend_watchdog(timeout_s: float = 300.0) -> None:
+    """Fail fast if the backend never comes up (the axon relay can die and
+    leave `jax.devices()` blocked forever — observed hanging a bench run
+    >20 min with zero CPU time). Prints the contract JSON line with an
+    `error` field and exits 3 instead of hanging the driver."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def bail():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "particle-steps/sec (backend init)",
+                "value": 0.0,
+                "unit": "particle-steps/sec",
+                "vs_baseline": 0.0,
+                "error": (
+                    f"backend init timed out after {timeout_s:.0f}s "
+                    "(TPU relay down?)"
+                ),
+            }))
+            sys.stdout.flush()
+            os._exit(3)
+
+    threading.Thread(target=bail, daemon=True).start()
+    jax.devices()   # blocks until the backend answers (or bail fires)
+    done.set()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=3,
@@ -388,6 +419,7 @@ def main():
                     help="also bench the biology/contact regime (10k + 100k "
                          "colonies on the sort+gather grid engine)")
     args = ap.parse_args()
+    _backend_watchdog()
 
     if args.all:
         detail = {}
