@@ -416,8 +416,9 @@ def main():
                          "ON; --no-verify to skip)")
     ap.add_argument("--no-verify", dest="verify", action="store_false")
     ap.add_argument("--cells", action="store_true",
-                    help="also bench the biology/contact regime (10k + 100k "
-                         "colonies on the sort+gather grid engine)")
+                    help="also bench the biology/contact regime: BONDED "
+                         "settled colonies at 10k (grid + dense engines), "
+                         "100k and 1M (dense)")
     args = ap.parse_args()
     _backend_watchdog()
 
@@ -443,7 +444,8 @@ def main():
             # (~0.5 GiB of layout; 1.7M bonds) — scale row, short run.
             (1_048_576, "dense", 40, 20),
         ):
-            key = f"cell colony {n//1024}k (contact+adhesion, {mode})"
+            size = f"{n//1024}k" if n < 1 << 20 else f"{n/(1<<20):g}M"
+            key = f"cell colony {size} (contact+adhesion, {mode})"
             try:
                 detail[key] = _bench_cells(
                     n, steps=steps, chunk=chunk, neighbor_mode=mode

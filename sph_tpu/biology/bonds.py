@@ -146,9 +146,13 @@ def filter_bonds(state: SimState) -> BondTable:
     per-group stats are segment-mins, and the per-bond lookbacks are two
     8-wide row gathers instead of eight column gathers."""
     b = state.bonds
-    dirty = jnp.any(
-        b.active & (b.created_step >= state.step_count - 2)
-    )
+    # No `active` mask: a division that only DROPS bonds (no child keeps
+    # adhesion) stamps the deactivated rows, and must reopen the gate —
+    # removing a mixed bond can strip a group's exemption, so the prune
+    # the reference would run that frame has to fire (CAM:72-75 runs it
+    # every frame). Rows deactivated by the prune itself keep their old
+    # stamp, so they never hold the gate open.
+    dirty = jnp.any(b.created_step >= state.step_count - 2)
     return jax.lax.cond(
         dirty, lambda: _filter_bonds_active(state), lambda: b
     )
@@ -289,7 +293,12 @@ def handle_cell_split(
         zone_a=w(bonds.zone_a, pass_zone, rewrite),
         zone_b=w(bonds.zone_b, neighbor_zone, rewrite),
         child_to_child=w(bonds.child_to_child, jnp.zeros(B, jnp.bool_), rewrite),
-        created_step=w(bonds.created_step, jnp.full(B, 1, jnp.int32) * step_count, rewrite),
+        # Stamp EVERY touched bond, including pure drops (inherit == 0):
+        # dropping a mixed C↔(A|B) bond can strip its groups' prune
+        # exemption, so the filter_bonds settled-gate must reopen — the
+        # stamp is the gate's signal. Consumers other than the gate mask
+        # by `active`, so stamping a deactivated row is otherwise inert.
+        created_step=w(bonds.created_step, jnp.full(B, 1, jnp.int32) * step_count, touches),
         rel_orientation=w(bonds.rel_orientation, rel, rewrite),
         anchor_a=w(bonds.anchor_a, jnp.zeros((B, 3), jnp.float32), rewrite),
         anchor_b=w(bonds.anchor_b, jnp.zeros((B, 3), jnp.float32), rewrite),

@@ -39,6 +39,7 @@ class FluidSimulation:
         parallel.dist.make_multislice_mesh for multi-slice deployments."""
         self.params = params
         self.substeps = substeps
+        self.donate = donate
         self.mesh = mesh
         self.spec = make_dense_spec(
             params, k=params.dense_k, cell_factor=params.cell_factor
@@ -128,7 +129,7 @@ class FluidSimulation:
                 )
             self._drag_step = make_dense_step(
                 self.params, self.spec, substeps=self.substeps,
-                donate=True, with_drag=True,
+                donate=self.donate, with_drag=True,
             )
         self._drag = FluidDrag.at(center, target, radius, strength)
 
@@ -243,6 +244,7 @@ class FluidSimulation:
             sim._step = make_sharded_dense_step(
                 params, sim.spec, mesh, substeps=sim.substeps, donate=True
             )
+        sim.donate = True   # load() builds its own donating step fns
         sim._steps_per_sec = float("nan")
         sim._drag = None
         sim._drag_step = None

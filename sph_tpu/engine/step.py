@@ -91,12 +91,19 @@ _STEP_CACHE: dict = {}
 def make_step_fn(params: SimParams, donate: bool = True, contact_fn=None):
     """Build a jitted step closure over static params.
 
-    Memoized on (params, donate, contact_fn) so every Simulation with equal
-    params shares one compiled executable (per state shape, via jit's own
-    cache); `contact_fn` keys by identity (one per mesh)."""
-    key = (params, donate, contact_fn)
-    if key not in _STEP_CACHE:
+    Memoized on (params, donate) so every Simulation with equal params
+    shares one compiled executable (per state shape, via jit's own cache).
+    A `contact_fn` closure is per-Simulation (one fresh function per mesh),
+    so those steps are NOT put in the module-level cache — keying on the
+    closure would leak one compiled executable + captured Mesh per
+    Simulation instance; the caller's per-instance cache
+    (Simulation._step_cache) scopes them correctly."""
+    if contact_fn is not None:
         f = lambda st, gd: step(st, params, gd, contact_fn=contact_fn)  # noqa: E731
+        return jax.jit(f, donate_argnums=(0,) if donate else ())
+    key = (params, donate)
+    if key not in _STEP_CACHE:
+        f = lambda st, gd: step(st, params, gd)  # noqa: E731
         _STEP_CACHE[key] = jax.jit(f, donate_argnums=(0,) if donate else ())
     return _STEP_CACHE[key]
 

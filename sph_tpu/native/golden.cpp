@@ -509,7 +509,12 @@ static int handle_cell_split_native(
                                   neighbor_zone, pass_zone};
 
         if (inherit == 0) {
+            // Pure drop: deactivate AND stamp created_step — dropping a
+            // mixed bond can strip its group's prune exemption, and the
+            // stamp is filter_bonds' settled-gate reopen signal
+            // (biology/bonds.py handle_cell_split, same rule).
             b_active[b] = 0;
+            b_created[b] = step_count;
             continue;
         }
         int child_uid = inherit == 1 ? uid_a : uid_b;

@@ -40,6 +40,7 @@ def ensure_built() -> str:
                     ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
                      "-o", tmp, _SRC],
                     check=True, capture_output=True,
+                    timeout=300,   # the build is ~1 s; never hang a run
                 )
                 os.replace(tmp, so)
     return so
@@ -115,7 +116,13 @@ def _lib():
 
 
 def _f(a):
-    return np.ascontiguousarray(np.asarray(a), np.float32)
+    """ALWAYS a writable copy. np.asarray of a CPU jax array is a
+    ZERO-COPY read-only view (np.shares_memory == True), ascontiguousarray
+    preserves it when dtype/layout already match, and ctypes writes
+    straight through the data pointer — the oracle was corrupting LIVE jax
+    buffers (proven: a ctypes store changed the jax array), which flaked
+    test_reference_scenario_topology_sequence order-dependently."""
+    return np.array(np.asarray(a), np.float32, copy=True)
 
 
 def contact_forces_native(state, params):
@@ -194,11 +201,13 @@ def adhesion_deltas_native(state, params, genome_dev):
 
 
 def _i(a):
-    return np.ascontiguousarray(np.asarray(a), np.int32)
+    """Writable copy — see _f for why a view would corrupt jax state."""
+    return np.array(np.asarray(a), np.int32, copy=True)
 
 
 def _u8(a):
-    return np.ascontiguousarray(np.asarray(a), np.uint8)
+    """Writable copy — see _f for why a view would corrupt jax state."""
+    return np.array(np.asarray(a), np.uint8, copy=True)
 
 
 def _bond_arrays(b):

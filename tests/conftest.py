@@ -7,6 +7,7 @@ we must go through jax.config. Unit tests must be local and fast; bench.py
 uses the real chip.
 """
 
+import hashlib
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -17,28 +18,37 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compilation cache: repeated pytest runs skip recompiles.
-# KEYED BY HOST CPU FINGERPRINT: XLA:CPU AOT-caches machine code compiled
-# for the exact CPU feature set, and jax's cache key does NOT include it —
-# an entry written on a different host loads with a "could lead to
-# execution errors such as SIGILL" warning and can silently miscompute
-# (observed: a foreign +prefer-no-gather entry flipped
-# test_reference_scenario_topology_sequence nondeterministically).
-def _cpu_fingerprint() -> str:
-    import hashlib
 
+def _cpu_fingerprint() -> str:
+    """CPU identity + flags hash. XLA:CPU AOT results embed the compiling
+    host's exact feature set (including model-keyed LLVM tuning flags like
+    +prefer-no-gather), and jax's cache key does NOT include it — entries
+    from a different host load with a `cpu_aot_loader` machine-feature
+    warning ("could lead to execution errors such as SIGILL"). Keying the
+    cache dir by host keeps every entry native to the machine that runs it.
+    (Round-3 note: a test flake originally blamed on such reloads was in
+    fact zero-copy buffer aliasing in the native oracle, fixed in
+    sph_tpu/native/golden.py — but foreign-host AOT reuse remains unsound,
+    hence the fingerprint.)"""
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                key = line.split(":")[0].strip()
+                if key in ("vendor_id", "cpu family", "model",
+                           "model name", "stepping", "microcode", "flags"):
+                    ident.append(line.strip())
+                if line.strip() == "" and ident:
+                    break   # first logical CPU block is enough
     except OSError:
-        pass
-    import platform
+        import platform
 
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+        ident = [platform.processor()]
+    return hashlib.sha1("\n".join(ident).encode()).hexdigest()[:12]
 
 
+# Persistent compilation cache (host-keyed): repeated pytest runs skip the
+# ~25 min of cold compiles (dominated by the k=8 pure-XLA dense twin).
 _cache_dir = os.path.join(
     os.path.dirname(__file__), ".jax_cache", _cpu_fingerprint()
 )

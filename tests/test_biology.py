@@ -313,3 +313,51 @@ def test_filter_bonds_settled_gate_is_exact():
 
     assert checked_dirty >= 2      # prune actually ran around divisions
     assert checked_settled >= 2    # and the settled no-op claim was tested
+
+
+def test_drop_only_division_reopens_filter_gate():
+    """A division where NO child keeps adhesion only DROPS the parent's
+    bonds (no rewrite, no insert). Dropping a mixed C↔A bond strips its
+    group's prune exemption, so filter_bonds' settled-gate must reopen
+    and prune the group that frame (the reference runs FilterBonds every
+    frame, CAM:72-75). Regression: the gate used to key on ACTIVE stamped
+    bonds only, so a drop-only division left the gate shut and the
+    stale-exempt group alive forever."""
+    from sph_tpu.biology.bonds import filter_bonds, handle_cell_split
+
+    params = SimParams(capacity=8)
+    st = SimState.zeros(8, params)
+    # X=slot0/uid1 bonded to: Y=slot1/uid2 (X-side ZoneA, Y-side ZoneC —
+    # the MIXED bond exempting X's ZoneA group), Z=slot2/uid3 (dist 3),
+    # W=slot3/uid4 (dist 5). Without the exemption, the (X, ZoneA) group
+    # keeps only its shortest member (the X↔Z bond).
+    pos = st.pos.at[1].set(jnp.array([0.0, 2.0, 0.0]))
+    pos = pos.at[2].set(jnp.array([3.0, 0.0, 0.0]))
+    pos = pos.at[3].set(jnp.array([5.0, 0.0, 0.0]))
+    st = st.replace_fields(pos=pos, active_count=jnp.int32(5),
+                           step_count=jnp.int32(10))
+    b = st.bonds
+    b = make_bond(b, 0, 1, 2, 0, 1, ZONE_A, ZONE_C, created_step=0)
+    b = make_bond(b, 1, 1, 3, 0, 2, ZONE_A, ZONE_A, created_step=0)
+    b = make_bond(b, 2, 1, 4, 0, 3, ZONE_A, ZONE_A, created_step=0)
+
+    # Settled table: the gate is shut and the exemption holds all 3 alive.
+    pre = filter_bonds(st.replace_fields(bonds=b))
+    np.testing.assert_array_equal(np.asarray(pre.active)[:3],
+                                  [True, True, True])
+
+    # Y (uid 2) divides; neither child keeps adhesion — pure drop.
+    b2, dropped = handle_cell_split(
+        b, st.rot,
+        parent_uid=jnp.int32(2), uid_a=jnp.int32(10), uid_b=jnp.int32(11),
+        slot_a=jnp.int32(1), slot_b=jnp.int32(4),
+        keep_a=jnp.bool_(False), keep_b=jnp.bool_(False),
+        make_adhesion=jnp.bool_(False), step_count=jnp.int32(10),
+    )
+    assert int(dropped) == 0
+    assert not bool(b2.active[0])          # the mixed bond was dropped
+    out = filter_bonds(st.replace_fields(bonds=b2))
+    # The gate reopened and the un-exempted group was pruned to its
+    # shortest member: X↔Z stays, X↔W goes.
+    assert bool(out.active[1])
+    assert not bool(out.active[2])

@@ -1,7 +1,12 @@
-"""Per-phase cost probe at 256k: time each phase inside a 15-iteration
-lax.scan (one dispatch per measurement, scalar fetch) so relay dispatch
-overhead (~5 ms) amortizes away — unlike utils.profiling.step_breakdown,
-whose per-call timings through the axon relay are dominated by dispatch.
+"""Per-phase cost probe at 256k: time each phase inside a lax.scan (one
+dispatch per measurement, scalar fetch) so relay dispatch overhead
+amortizes away — unlike utils.profiling.step_breakdown, whose per-call
+timings through the axon relay are dominated by dispatch.
+
+NOTE: the relay overhead was remeasured at ~27-30 ms/call (round 3,
+tools/probe_sub.py) — at SUB=60 that's ~0.5 ms of residual tax per
+phase-step; do NOT size new probes off the old ~5 ms estimate
+(CLAUDE.md mandates ≥45 substeps/dispatch).
 
 Usage: python tools/probe256.py [n_target]
 """
@@ -23,7 +28,7 @@ from sph_tpu.sph.model import eos_pressure
 from sph_tpu.sph.scenes import dam_break_3d
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
-SUB = 15
+SUB = 60   # >=45 substeps/dispatch (27-30 ms relay overhead)
 state, params = dam_break_3d(n_target=N)
 params = params.replace(cell_factor=1.25, dense_k=8, rebin_every=6,
                         use_pallas=True)
