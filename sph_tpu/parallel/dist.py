@@ -118,8 +118,7 @@ def _local_step(d: DenseFluidState, params: SPHParams, spec: DenseSpec,
 
     dpi = d.replace_fields(rho=rho_own, prs=prs_own)
     px, py, pz, vx, vy, vz, n_clamped = _integrate(
-        dp.replace_fields(rho=rho_pad, prs=prs_pad),
-        ax, ay, az, params, rebin_vmax(params, spec),
+        dp, ax, ay, az, params, rebin_vmax(params, spec),
     )
     # Clamp diagnostic: counted on the padded slab, so boundary-plane hits
     # can double-count across shards (alarm semantics, like `dropped`);
@@ -138,10 +137,22 @@ def _local_step(d: DenseFluidState, params: SPHParams, spec: DenseSpec,
         )
         p_local = px.shape[0]
         offset = jax.lax.axis_index(axis_name) * p_local - 1
-        out = rebin(
-            dpad, dpad.px, dpad.py, dpad.pz, dpad.vx, dpad.vy, dpad.vz,
-            params, spec, dim0_offset=offset,
-        )
+        if params.use_pallas:
+            # rebin_pallas exposes dim0_offset precisely for this padded
+            # 1D slab; the rebin twins are strictly bitwise (CLAUDE.md),
+            # so the swap is semantics-preserving. (The 2D path keeps the
+            # XLA rebin: rebin_pallas has no dim1_offset plumbing yet.)
+            from sph_tpu.ops.pallas.rebin import rebin_pallas
+
+            out = rebin_pallas(
+                dpad, dpad.px, dpad.py, dpad.pz, dpad.vx, dpad.vy,
+                dpad.vz, params, spec, dim0_offset=offset,
+            )
+        else:
+            out = rebin(
+                dpad, dpad.px, dpad.py, dpad.pz, dpad.vx, dpad.vy,
+                dpad.vz, params, spec, dim0_offset=offset,
+            )
         # Diagnostic drop count: psum of local counts (shard-edge cells are
         # compacted on both owners, so edge drops can double-count — this is
         # an overflow alarm, not an exact tally).
@@ -475,8 +486,12 @@ def make_sharded_contact_forces(params, mesh: Mesh, spec=None,
     ring resolve global-edge planes to sentinel data whose pair terms are
     exact zeros (asserted in tests/test_dist.py)."""
     from sph_tpu.physics.contact_dense import (
+        FIELD_FILLS,
+        OCC_FILL,
         _pack_args,
+        _sweep_xla,
         contact_pair_terms,
+        gather_back,
         make_contact_spec,
     )
 
@@ -490,13 +505,23 @@ def make_sharded_contact_forces(params, mesh: Mesh, spec=None,
     pad = (-NZ) % n
 
     def sweep_local(*args):
-        from sph_tpu.ops.pallas.contact import contact_sweep_pallas
-
         fields, occ = args[:-1], args[-1]
         padded = tuple(exchange_halo(f, axis) for f in fields)
-        occ_p = exchange_halo(occ, axis)
         pair = lambda *a: contact_pair_terms(params, *a)  # noqa: E731
-        comps = contact_sweep_pallas(padded, occ_p, spec, pair, ncomp=6)
+        # Honor use_pallas so sharded == single-device holds for BOTH
+        # engines (XLA's FMA contraction differs between the two graph
+        # shapes on TPU, so always-Pallas would silently diverge from an
+        # unsharded use_pallas=False run). The XLA twin's rolls are safe
+        # on the padded slab: interior planes read real halo planes, and
+        # the wrap only corrupts the halo planes' OWN rows, which the
+        # [1:-1] trim discards.
+        if params.use_pallas:
+            from sph_tpu.ops.pallas.contact import contact_sweep_pallas
+
+            occ_p = exchange_halo(occ, axis)
+            comps = contact_sweep_pallas(padded, occ_p, spec, pair, ncomp=6)
+        else:
+            comps = _sweep_xla(padded, pair, ncomp=6, spec=spec)
         return tuple(c[1:-1] for c in comps)
 
     arr = P(axis, None, None)
@@ -510,24 +535,19 @@ def make_sharded_contact_forces(params, mesh: Mesh, spec=None,
         fields, occ, slot_of, overflow = _pack_args(state, spec)
         if pad:
             ext = (pad,) + occ.shape[1:]
-            fills = (SENTINEL,) * 3 + (0.0,) * 6 + (1.0,)
             fields = tuple(
                 jnp.concatenate(
                     [f, jnp.full(ext, fill, jnp.float32)], axis=0
                 )
-                for f, fill in zip(fields, fills)
+                for f, fill in zip(fields, FIELD_FILLS)
             )
             occ = jnp.concatenate(
-                [occ, jnp.zeros(ext, jnp.float32)], axis=0
+                [occ, jnp.full(ext, OCC_FILL, jnp.float32)], axis=0
             )
         comps = f_shard(*fields, occ)
-        table = jnp.stack(
-            [c[:NZ].reshape(-1) for c in comps], axis=-1
+        return gather_back(
+            [c[:NZ].reshape(-1) for c in comps], slot_of, overflow
         )
-        idx = jnp.minimum(slot_of, table.shape[0] - 1)
-        valid = (slot_of < table.shape[0])[:, None].astype(jnp.float32)
-        ft = table[idx] * valid
-        return ft[:, :3], ft[:, 3:], overflow
 
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 
@@ -542,8 +562,12 @@ def make_sharded_contact_forces_2d(params, mesh: Mesh, spec=None,
     arrive transitively. Interior results are BITWISE equal to the
     single-device sweep by the same argument as the 1D ring."""
     from sph_tpu.physics.contact_dense import (
+        FIELD_FILLS,
+        OCC_FILL,
         _pack_args,
+        _sweep_xla,
         contact_pair_terms,
+        gather_back,
         make_contact_spec,
     )
 
@@ -571,20 +595,25 @@ def make_sharded_contact_forces_2d(params, mesh: Mesh, spec=None,
         return jnp.concatenate([sent, top, arr, bot, sent], axis=1)
 
     def sweep_local(*args):
-        from sph_tpu.ops.pallas.contact import contact_sweep_pallas
-
         fields, occ = args[:-1], args[-1]
-        fills = (SENTINEL,) * 3 + (0.0,) * 6 + (1.0,)
         padded = tuple(
             exchange_halo(ex_y(f, fill), za)
-            for f, fill in zip(fields, fills)
+            for f, fill in zip(fields, FIELD_FILLS)
         )
-        occ_p = exchange_halo(ex_y(occ, 0.0), za)
         import dataclasses
 
         lspec = dataclasses.replace(spec, ny=rows_local + 8)
         pair = lambda *a: contact_pair_terms(params, *a)  # noqa: E731
-        comps = contact_sweep_pallas(padded, occ_p, lspec, pair, ncomp=6)
+        # use_pallas dispatch: same argument as the 1D builder — XLA-twin
+        # rolls on the padded block only corrupt the halo/sentinel rows'
+        # OWN results, which the trim below discards.
+        if params.use_pallas:
+            from sph_tpu.ops.pallas.contact import contact_sweep_pallas
+
+            occ_p = exchange_halo(ex_y(occ, OCC_FILL), za)
+            comps = contact_sweep_pallas(padded, occ_p, lspec, pair, ncomp=6)
+        else:
+            comps = _sweep_xla(padded, pair, ncomp=6, spec=lspec)
         return tuple(c[1:-1, 4:4 + rows_local] for c in comps)
 
     arr = P(za, ya, None)
@@ -610,18 +639,13 @@ def make_sharded_contact_forces_2d(params, mesh: Mesh, spec=None,
                 )
             return x
 
-        fills = (SENTINEL,) * 3 + (0.0,) * 6 + (1.0,)
-        fields = tuple(padf(f_, fl) for f_, fl in zip(fields, fills))
-        occ = padf(occ, 0.0)
+        fields = tuple(padf(f_, fl) for f_, fl in zip(fields, FIELD_FILLS))
+        occ = padf(occ, OCC_FILL)
         comps = f_shard(*fields, occ)
         # slot_of indexes the UNPADDED [NZ, NY, L] flat layout.
-        table = jnp.stack(
-            [c[:NZ, :NY].reshape(-1) for c in comps], axis=-1
+        return gather_back(
+            [c[:NZ, :NY].reshape(-1) for c in comps], slot_of, overflow
         )
-        idx = jnp.minimum(slot_of, table.shape[0] - 1)
-        valid = (slot_of < table.shape[0])[:, None].astype(jnp.float32)
-        ft = table[idx] * valid
-        return ft[:, :3], ft[:, 3:], overflow
 
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 

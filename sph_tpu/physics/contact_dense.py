@@ -177,6 +177,28 @@ def contact_pair_terms(params: SimParams,
     return fx, fy, fz, bx, by, bz
 
 
+# Fill value per packed field (px, py, pz, vx, vy, vz, ox, oy, oz, rad),
+# plus the occupancy plane's. Empty/pad slots hold these so pair terms
+# self-reject arithmetically. parallel/dist.py pads its halo/alignment
+# planes with the SAME values — they must stay byte-identical to the
+# scatter fills below or pad planes stop being inert.
+FIELD_FILLS = (SENTINEL, SENTINEL, SENTINEL,
+               0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+OCC_FILL = 0.0
+
+
+def gather_back(comps_flat, slot_of, overflow):
+    """ONE row-gather of the stacked per-slot sweep components back to
+    particle order — 6 separate gathers pay the random-access descriptor
+    cost 6×. Shared by the single-device path and both sharded builders
+    (parallel/dist.py). Returns (force [N,3], torque [N,3], overflow)."""
+    table = jnp.stack(comps_flat, axis=-1)        # [slots, 6]
+    idx = jnp.minimum(slot_of, table.shape[0] - 1)
+    valid = (slot_of < table.shape[0])[:, None].astype(jnp.float32)
+    ft = table[idx] * valid                       # [N, 6]
+    return ft[:, :3], ft[:, 3:], overflow
+
+
 def _pack_args(state: SimState, spec: ContactSpec):
     """In-jit pack: (fields [10][Z,Y,L], occ, slot_of_particle, overflow)."""
     N = state.capacity
@@ -187,8 +209,18 @@ def _pack_args(state: SimState, spec: ContactSpec):
 
     org = jnp.asarray(spec.origin, jnp.float32)
     dims = jnp.asarray((spec.nx, spec.ny, spec.nz), jnp.int32)
+    # Clip into the INTERIOR [1, dim-2]: the margin ring must stay
+    # sentinel-only. Out-of-domain particles (e.g. division children placed
+    # past the spawn sphere before update_motion's boundary clamp runs,
+    # cs:753-754 offset + compute:339-354 clamp ordering) bin into the
+    # nearest interior edge cell — the reference precedent is the edge-cell
+    # clamp at compute:104. A real particle in a margin plane would break
+    # every engine's edge handling differently: the Pallas kernel clamps
+    # the dz=±1 block index (plane 0 would partner ITSELF, double-counting
+    # same-plane pairs), the XLA twin rolls to the far margin, and the
+    # sharded rings wrap to a neighbor's sentinel halo.
     cc = jnp.clip(((state.pos - org) / spec.cell).astype(jnp.int32),
-                  0, dims - 1)
+                  1, dims - 2)
     ix, iy, iz = cc[:, 0], cc[:, 1], cc[:, 2]
     cid = (iz * spec.ny + iy) * spec.nx_pad + ix
     cid = jnp.where(alive, cid, jnp.int32(spec.nz * spec.ny * spec.nx_pad))
@@ -218,8 +250,7 @@ def _pack_args(state: SimState, spec: ContactSpec):
     )                                             # [N, 11]
     sorted_rows = tbl[order]
 
-    fills = (SENTINEL, SENTINEL, SENTINEL, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-             1.0, 0.0)
+    fills = FIELD_FILLS + (OCC_FILL,)
 
     def scatter(c):
         fill = fills[c]
@@ -288,10 +319,6 @@ def contact_forces_dense(state: SimState, params: SimParams,
         comps = contact_sweep_pallas(fields, occ, spec, pair, ncomp=6)
     else:
         comps = _sweep_xla(fields, pair, ncomp=6, spec=spec)
-    # ONE row-gather back to particle order (6 separate gathers pay the
-    # random-access cost 6×).
-    table = jnp.stack([c.reshape(-1) for c in comps], axis=-1)  # [slots, 6]
-    idx = jnp.minimum(slot_of, table.shape[0] - 1)
-    valid = (slot_of < table.shape[0])[:, None].astype(jnp.float32)
-    ft = table[idx] * valid                                     # [N, 6]
-    return ft[:, :3], ft[:, 3:], overflow
+    return gather_back(
+        [c.reshape(-1) for c in comps], slot_of, overflow
+    )

@@ -326,3 +326,52 @@ def test_dense_contact_matches_bruteforce_k_ladder(k):
     np.testing.assert_allclose(
         np.asarray(td), np.asarray(tb), atol=2e-4 * t_scale, rtol=2e-4
     )
+
+
+def test_out_of_domain_particles_bin_interior_all_engines_agree():
+    """Particles OUTSIDE the spawn sphere (division children are placed at
+    parent ± offset BEFORE update_motion's boundary clamp runs, cs:753-754)
+    must bin into interior edge cells, never the sentinel margin ring.
+    Regression: margin-binned particles made plane 0 partner ITSELF in the
+    Pallas kernel's clamped dz blocks, double-counting every same-plane
+    pair there — diverging from the XLA twin and both sharded rings."""
+    import jax
+
+    from sph_tpu.physics.contact_dense import contact_forces_dense
+
+    n = 4
+    params = SimParams(
+        capacity=n, spawn_radius=10.0, neighbor_mode="dense", dense_k=4,
+    )
+    # A touching pair BELOW the sphere (z < -spawn_radius lands in the
+    # margin plane pre-fix) plus a touching pair above the top.
+    st = SimState.zeros(n, params).replace_fields(
+        pos=jnp.array([
+            [0.0, 0.0, -11.0], [0.3, 0.0, -10.2],
+            [0.0, -11.0, 10.8], [0.0, -10.1, 10.3],
+        ], jnp.float32),
+        vel=jnp.array([
+            [0.0, 1.0, 0.0], [0.0, 0.0, 0.0],
+            [1.0, 0.0, 0.0], [0.0, 0.0, 0.0],
+        ], jnp.float32),
+        radius=jnp.full(n, 2.0),
+        active_count=jnp.int32(n),
+    )
+    fb, tb = contact_forces_bruteforce(st, params)
+    assert float(jnp.abs(fb).max()) > 0      # the pairs really touch
+    for use_pallas in (False, True):
+        fd, td, ovf = jax.jit(
+            lambda s, p=params.replace(use_pallas=use_pallas):
+            contact_forces_dense(s, p)
+        )(st)
+        assert int(ovf) == 0
+        np.testing.assert_allclose(
+            np.asarray(fd), np.asarray(fb), rtol=2e-4,
+            atol=2e-4 * float(jnp.abs(fb).max()),
+            err_msg=f"force use_pallas={use_pallas}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(td), np.asarray(tb), rtol=2e-4,
+            atol=2e-4 * float(jnp.abs(tb).max()),
+            err_msg=f"torque use_pallas={use_pallas}",
+        )
