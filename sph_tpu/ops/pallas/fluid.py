@@ -119,7 +119,7 @@ def _pick_cb(C: int, sc: int, K: int, X: int, nf: int, nz: int,
 
 def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
                    dysc: tuple, X: int, sc: int, nchunk: int, pair_fn,
-                   self_init, sign: int, explicit_mirror: bool = False):
+                   self_init, sign: int):
     """Newton-symmetric fused pair sweep over one (plane, C-block).
 
     refs: occ_t (SMEM, full chunk-flag row), then per field × zi:
@@ -205,11 +205,9 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
                         accs = list(carry[nf + ncomp:])
                         for u in range(U):
                             ts = pair_fn(*cs, *qs)
-                            ms_ts = ts[ncomp:] if explicit_mirror else ts
-                            ts = ts[:ncomp]
                             accs = [a + t for a, t in zip(accs, ts)]
                             gate = (i * U + u < n_mirror).astype(jnp.float32)
-                            lm = [m + t * gate for m, t in zip(lm, ms_ts)]
+                            lm = [m + t * gate for m, t in zip(lm, ts)]
                             qs = [slot_roll(q, 1) for q in qs]
                             lm = [slot_roll(m, 1) for m in lm]
                         return (*qs, *lm, *accs)
@@ -240,8 +238,7 @@ def _newton_kernel(*refs, nf: int, ncomp: int, k: int, nz: int, groups,
 
 
 def _newton_call(fields, occ, spec, pair_fn, ncomp, self_init, sign,
-                 flops_per_lane, transc_per_lane,
-                 explicit_mirror: bool = False, occ_t=None):
+                 flops_per_lane, transc_per_lane, occ_t=None):
     """Shared pallas_call builder for the density / accel / contact sweeps
     over fused [N0, K, C] fields. Returns (own, m_row, m_cs) part arrays
     (combine left to the caller)."""
@@ -263,7 +260,7 @@ def _newton_call(fields, occ, spec, pair_fn, ncomp, self_init, sign,
     kernel = functools.partial(
         _newton_kernel, nf=nf, ncomp=ncomp, k=K, nz=nz, groups=groups,
         dysc=dysc, X=X, sc=sc, nchunk=nchunk, pair_fn=pair_fn,
-        self_init=self_init, sign=sign, explicit_mirror=explicit_mirror,
+        self_init=self_init, sign=sign,
     )
     # SMEM blocks keep trailing dims equal to the array's (Pallas TPU block
     # divisibility rule): whole chunk-flag row, indexed by cb·nchunk + ct.

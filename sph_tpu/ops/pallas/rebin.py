@@ -97,9 +97,13 @@ def _stage_kernel(*refs, stage: int, K: int, CB: int, sc: int, nchunk: int,
                 src = [pads[f][:, o:o + sc] for f in range(NF)]
             occ_src = src[6]
             p_w = src[world_axis]
+            # Interior clip [1, n-2], identical to the XLA twin's (margins
+            # must stay sentinel; bitwise rebin contract).
+            lo_w = min(1, n_cells_w - 1)
+            hi_w = max(n_cells_w - 2, lo_w)
             tgt = jnp.clip(
                 ((p_w - origin_w) / cell).astype(jnp.int32),
-                0, n_cells_w - 1,
+                lo_w, hi_w,
             )
             tgt = jnp.where(occ_src > 0.5, tgt, -9)
             if s == 0:
@@ -131,6 +135,13 @@ def _stage_kernel(*refs, stage: int, K: int, CB: int, sc: int, nchunk: int,
 
 
 def _pick_cb(C: int, sc: int, K: int, shift: int) -> int:
+    # NOTE: the NF*3*cb input term OVERestimates — the ±1 halo sources are
+    # single-sc tiles (cb + 2·sc actual, as fluid._pick_cb models), so this
+    # picks ~2× smaller blocks than the budget allows at large C. Kept
+    # as-is deliberately: correcting it doubles the chosen block size,
+    # which must be re-validated against real VMEM on the chip before the
+    # recorded bench rows depend on it (perf-only; correctness is
+    # block-size independent).
     nsub = C // sc
     best = sc
     for j in range(1, nsub + 1):
@@ -144,7 +155,7 @@ def _pick_cb(C: int, sc: int, K: int, shift: int) -> int:
     return best
 
 
-def _run_stage(fields, occ_row, stage, spec, params, dim0_offset):
+def _run_stage(fields, occ_row, stage, spec, dim0_offset):
     """fields: list of NF arrays [N0, K, C] (fused layout)."""
     N0, K, C = fields[0].shape
     X = spec.X
@@ -265,7 +276,7 @@ def rebin_pallas(d, px, py, pz, vx, vy, vz, params, spec, dim0_offset=0):
         stages.append(0)
     for stage in stages:
         fields, drp = _run_stage(
-            fields, occ_row, stage, spec, params, dim0_offset
+            fields, occ_row, stage, spec, dim0_offset
         )
         dropped = dropped + drp
 

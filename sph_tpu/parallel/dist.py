@@ -137,22 +137,19 @@ def _local_step(d: DenseFluidState, params: SPHParams, spec: DenseSpec,
         )
         p_local = px.shape[0]
         offset = jax.lax.axis_index(axis_name) * p_local - 1
-        if params.use_pallas:
-            # rebin_pallas exposes dim0_offset precisely for this padded
-            # 1D slab; the rebin twins are strictly bitwise (CLAUDE.md),
-            # so the swap is semantics-preserving. (The 2D path keeps the
-            # XLA rebin: rebin_pallas has no dim1_offset plumbing yet.)
-            from sph_tpu.ops.pallas.rebin import rebin_pallas
-
-            out = rebin_pallas(
-                dpad, dpad.px, dpad.py, dpad.pz, dpad.vx, dpad.vy,
-                dpad.vz, params, spec, dim0_offset=offset,
-            )
-        else:
-            out = rebin(
-                dpad, dpad.px, dpad.py, dpad.pz, dpad.vx, dpad.vy,
-                dpad.vz, params, spec, dim0_offset=offset,
-            )
+        # ALWAYS the XLA rebin here, even under use_pallas: rebin_pallas's
+        # stage-0 plane fetch clamps its ±1 plane index, which is inert
+        # only when the edge planes are sentinel — on this padded slab the
+        # edge planes are REAL halo data, so the clamp double-places every
+        # edge-plane particle and psums spurious `dropped` counts
+        # (verified on a padded-slab repro: edge occupancy 2×, dropped 8
+        # vs 0). The rebin twins are bitwise on sentinel-edged inputs
+        # only; wiring rebin_pallas here would need an extra sentinel
+        # ring outside the halos.
+        out = rebin(
+            dpad, dpad.px, dpad.py, dpad.pz, dpad.vx, dpad.vy,
+            dpad.vz, params, spec, dim0_offset=offset,
+        )
         # Diagnostic drop count: psum of local counts (shard-edge cells are
         # compacted on both owners, so edge drops can double-count — this is
         # an overflow alarm, not an exact tally).

@@ -172,7 +172,15 @@ def pack(state: SPHState, params: SPHParams, spec: DenseSpec) -> DenseFluidState
     n = pos.shape[0]
     org = np.asarray(spec.origin, np.float32)
     wc = np.array(spec.world_cells())
-    cc = np.clip(((pos - org) / spec.cell).astype(np.int64), 0, wc - 1)
+    # Clip into the INTERIOR [1, wc-2] (margin cells must stay sentinel):
+    # a wall-clamped particle at exactly bounds_max bins to wc-1 whenever
+    # the domain extent is an f32-exact multiple of the cell, and a real
+    # particle in a margin plane breaks the clamped-edge-fetch inertness
+    # every kernel relies on (the Pallas dz=±1 fetch would pair the margin
+    # plane with itself, double-counting the self term — verified repro).
+    lo = np.minimum(1, wc - 1)
+    hi = np.maximum(wc - 2, lo)
+    cc = np.clip(((pos - org) / spec.cell).astype(np.int64), lo, hi)
     # Layout coordinates per axis_map.
     i0 = cc[:, spec.axis_map[0]]
     i1 = cc[:, spec.axis_map[1]]
@@ -349,17 +357,11 @@ def sweep_groups(spec: DenseSpec):
 
 
 def _sweep_xla(fields, pair_fn, ncomp, self_init, spec: DenseSpec,
-               sign: int, explicit_mirror: bool = False):
+               sign: int):
     """XLA twin of the Newton-symmetric fused sweep. Whole-array rolls
     ([Z, K, C]: plane, slot, fused dy·X+dx); per (group, dx) one mirror
     lump accumulated in slot order then slot+lane-derolled — matching the
-    accumulation order of ops/pallas/fluid.py exactly.
-
-    explicit_mirror: pair_fn returns 2·ncomp terms — own then mirror
-    (partner-side) values — instead of mirrors being sign·own. Needed when
-    the partner contribution is not a pure negation (e.g. the contact
-    torque, whose lever arm is the partner's radius). Folding then uses
-    sign=+1 semantics (mirror values arrive pre-signed)."""
+    accumulation order of ops/pallas/fluid.py exactly."""
     shape = fields[0].shape
     X = spec.X
     zeros = jnp.zeros(shape, jnp.float32)
@@ -383,13 +385,11 @@ def _sweep_xla(fields, pair_fn, ncomp, self_init, spec: DenseSpec,
                     for f in fields
                 ]
                 ts = pair_fn(*fields, *qs)
-                ms_ts = ts[ncomp:] if explicit_mirror else ts
-                ts = ts[:ncomp]
                 accs = [a + t for a, t in zip(accs, ts)]
                 if m in mirror_ms:
                     lumps = [
                         lm + jnp.roll(t, (m, dx), (1, 2))
-                        for lm, t in zip(lumps, ms_ts)
+                        for lm, t in zip(lumps, ts)
                     ]
             if dest == "acc":
                 accs = [
@@ -594,8 +594,11 @@ def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
                 c = jnp.zeros(so.shape, jnp.int32)
             else:
                 p = sf[..., world_axis]
+                # Interior clip [1, n-2]: margins stay sentinel (see pack).
+                lo = min(1, n_cells - 1)
+                hi = max(n_cells - 2, lo)
                 c = jnp.clip(
-                    ((p - o) / spec.cell).astype(jnp.int32), 0, n_cells - 1
+                    ((p - o) / spec.cell).astype(jnp.int32), lo, hi
                 )
             return jnp.where(so > 0.5, c, -9)
 

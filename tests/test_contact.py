@@ -164,8 +164,8 @@ def test_dense_contact_matches_bruteforce():
     """The dense fused-sweep contact path (physics/contact_dense.py) must
     reproduce the brute-force executable spec to float re-association
     tolerance — including the ASYMMETRIC partner torque (each side's own
-    contact arm, compute:282-294), which exercises the explicit-mirror
-    sweep machinery."""
+    contact arm, compute:282-294), which exercises the full-stencil
+    own-only sweep machinery."""
     import jax
 
     from sph_tpu.physics.contact_dense import contact_forces_dense
@@ -188,7 +188,7 @@ def test_dense_contact_matches_bruteforce():
 
 
 def test_dense_contact_pallas_matches_xla_twin():
-    """Pallas contact sweep == XLA twin (explicit-mirror path), interpret
+    """Pallas contact sweep == XLA twin (full-stencil own-only sweep), interpret
     mode off-TPU; same contract as the fluid twins."""
     import jax
 

@@ -174,10 +174,12 @@ def test_rebin_conserves_and_relocates():
     i1 = c // spec.X                             # layout dim 1 (= world y, 2D)
     i2 = c % spec.X                              # layout dim 2 (= world x)
     org = np.asarray(spec.origin)
-    cc = np.clip(
-        ((pos - org) / spec.cell).astype(int),
-        0, np.array(spec.world_cells()) - 1,
-    )
+    wc = np.array(spec.world_cells())
+    # Interior clip [1, wc-2] — margins stay sentinel (see dense.pack);
+    # out-of-bounds jittered particles bin to the nearest interior cell.
+    lo = np.minimum(1, wc - 1)
+    hi = np.maximum(wc - 2, lo)
+    cc = np.clip(((pos - org) / spec.cell).astype(int), lo, hi)
     assert (cc[m, spec.axis_map[2]] == i2[m]).all()
     assert (cc[m, spec.axis_map[1]] == i1[m]).all()
 
@@ -293,3 +295,55 @@ def test_vmax_clamp_counted():
     )
     d2 = make_dense_step(params, spec, donate=False)(fast)
     assert int(d2.clamped) == int(jnp.sum(d.occ))
+
+
+def test_wall_clamped_particle_never_bins_into_margin():
+    """With the domain extent an f32-EXACT multiple of the cell (h=0.125,
+    cell_factor=2.0, bounds (0,1) → cell=0.25), a wall-clamped particle at
+    exactly bounds_max used to bin into the top margin plane, where the
+    Pallas kernel's clamped dz fetch paired the plane with ITSELF and
+    double-counted the self density term (repro: 2079.7 vs the twin's
+    1277.6). Margins must stay sentinel: pack/rebin now clip bins to the
+    interior, and the twins must agree at the wall."""
+    import jax
+
+    from sph_tpu.ops.pallas.fluid import density_pallas
+    from sph_tpu.sph.dense import density_pass
+    from sph_tpu.sph.model import SPHParams, SPHState
+
+    params = SPHParams(
+        ndim=3, h=0.125, particle_mass=1.0,
+        bounds_min=(0.0, 0.0, 0.0), bounds_max=(1.0, 1.0, 1.0),
+        dt=1e-4, sound_speed=60.0, dense_k=4, cell_factor=2.0,
+        use_pallas=True,
+    )
+    spec = make_dense_spec(params, k=4, cell_factor=2.0)
+    assert float(spec.cell) == 0.25          # the f32-exact corner case
+    pos = jnp.array([
+        [1.0, 1.0, 1.0],                     # exactly at bounds_max
+        [0.95, 1.0, 0.9],                    # a neighbor at the wall
+        [0.0, 0.0, 0.0],                     # exactly at bounds_min
+        [0.5, 0.5, 0.5],
+    ], jnp.float32)
+    d = pack(SPHState.from_positions(pos, params), params, spec)
+    # No particle may occupy a margin cell: every occupied column must be
+    # an interior cell on every axis.
+    occ = np.asarray(d.occ)
+    assert occ.sum() == 4
+    wc = spec.world_cells()
+    zpl, _, col = np.nonzero(occ)
+    assert (zpl > 0).all() and (zpl < spec.n0 - 1).all()
+    rows, cells = col // spec.X, col % spec.X
+    assert (rows > 0).all() and (rows < wc[spec.axis_map[1]] - 1).all()
+    assert (cells > 0).all() and (cells < wc[spec.axis_map[2]] - 1).all()
+
+    rho_x = jax.jit(
+        lambda d: density_pass(d, params.replace(use_pallas=False), spec)
+    )(d)
+    rho_p = jax.jit(
+        lambda d: density_pallas(d.px, d.py, d.pz, d.occ, params, spec)
+    )(d)
+    m = np.asarray(d.occ) > 0.5
+    np.testing.assert_allclose(
+        np.asarray(rho_p)[m], np.asarray(rho_x)[m], rtol=1e-6
+    )

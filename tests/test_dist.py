@@ -424,3 +424,31 @@ def test_checkpoint_restore_into_mesh_sim(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(plain.state.rot), np.asarray(sharded.state.rot)
     )
+
+
+def test_sharded_fluid_pallas_matches_single_device():
+    """1D-sharded fluid with use_pallas=True (Pallas pair kernels on the
+    padded slab + the XLA rebin — rebin_pallas's clamped plane fetches
+    require sentinel edges, which the halo planes are not) vs the
+    single-device use_pallas=True step: occupancy and `dropped` bitwise,
+    positions at the last-ulp pair tolerance. Regression coverage: the
+    sharded Pallas-fluid path previously had NO test (only use_pallas=False
+    fixtures), so a padded-slab kernel bug would ship silently."""
+    import dataclasses
+
+    state, params = random_fluid(400, seed=3)
+    params = params.replace(use_pallas=True, rebin_every=2)
+    spec = make_dense_spec(params, k=4, cell_factor=1.3)
+    spec = dataclasses.replace(spec, n0=-(-spec.n0 // 8) * 8)
+    d0 = pack(state, params, spec)
+    sub = 6
+    ref = make_dense_step(params, spec, substeps=sub, donate=False)(d0)
+    out = make_sharded_dense_step(
+        params, spec, mesh_1d(8), substeps=sub, donate=False
+    )(shard_dense_state(d0, mesh_1d(8)))
+    np.testing.assert_array_equal(np.asarray(ref.occ), np.asarray(out.occ))
+    assert int(ref.dropped) == int(out.dropped) == 0
+    np.testing.assert_allclose(np.asarray(ref.px), np.asarray(out.px),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.vy), np.asarray(out.vy),
+                               rtol=1e-5, atol=1e-6)
