@@ -55,7 +55,6 @@ def update_bond_zones(
     surface point along the bond with hardcoded radius 1.0, stored body-frame
     (CAM:377-402)."""
     b = state.bonds
-    N = state.capacity
     young = b.active & (state.step_count <= b.created_step + 1)
     # Settled steps have no young bonds — skip the endpoint gathers and
     # quaternion math entirely (this pass only ever writes young rows).
@@ -127,7 +126,11 @@ def filter_bonds(state: SimState) -> BondTable:
     and within each group everything but the geometrically shortest is
     removed (union of the A-end and B-end verdicts); groups containing any
     C↔(A|B) bond are exempt; bonds created this step are exempt; ties keep
-    the lowest bond index (the reference's stable OrderBy keeps list order).
+    the lowest bond index. This tie-break is a DOCUMENTED divergence
+    (DESIGN.md §7.4): the reference's stable OrderBy keeps list = creation
+    order, and slot reuse by handle_cell_split's free-slot allocator means
+    a low index is not always the older bond — identical whenever
+    distances differ (bit-equal f32 distance ties are the only case).
 
     The reference runs this every frame, but the pass is a FIXED POINT two
     steps after the last bond creation/rewrite: removal is permanent, zones

@@ -25,20 +25,33 @@ def queue_splits(
     state: SimState, params: SimParams, genome: GenomeDevice, dt=None
 ) -> SimState:
     """Advance timers, detect ready cells (slot order, capacity-capped), and
-    queue their split data computed from CURRENT pose (cs:652-778)."""
+    queue their split data computed from CURRENT pose (cs:652-778).
+
+    The pending-buffer bound S (params.max_splits_per_step) composes with
+    the reference's own allowance mechanism: ready cells beyond the
+    allowance reset their timer and wait a full interval (cs:682), exactly
+    what the reference does to ready cells beyond its capacity headroom —
+    S is just a tighter allowance. It exists because the pending pytree is
+    fixed-shape under jit."""
     N = state.capacity
     S = state.pending.parent_slot.shape[0]
     slots = jnp.arange(N)
     alive = slots < state.active_count
     dt = params.dt if dt is None else dt
 
-    timer = jnp.where(alive, state.split_timer + dt, state.split_timer)
-
     n_modes = genome.n_modes
+    # The reference RETURNS before the timer-advance loop when there is no
+    # capacity headroom or no genome modes (cs:648-649): at-capacity
+    # colonies FREEZE their timers (phases resume where they stopped after
+    # a resize), they do not keep cycling.
+    gate = (state.active_count < N) & (n_modes > 0)
+    timer = jnp.where(gate & alive, state.split_timer + dt,
+                      state.split_timer)
+
     mode_valid = alive & (state.mode >= 0) & (state.mode < n_modes)
     mode_c = jnp.clip(state.mode, 0, jnp.maximum(n_modes - 1, 0))
     interval = genome.split_interval[mode_c]
-    ready = mode_valid & (timer >= interval - 0.001)  # cs:659 epsilon
+    ready = gate & mode_valid & (timer >= interval - 0.001)  # cs:659 epsilon
 
     allowed = jnp.maximum(N - state.active_count, 0)  # cs:648
     allowed = jnp.minimum(allowed, S)
@@ -178,10 +191,16 @@ def process_pending_splits(
         p_uid = w1(w1(st.parent_uid, parent_slot, parent_uid), slot_b, parent_uid)
         ctype = w1(w1(st.child_type, parent_slot, 0), slot_b, 1)
 
-        pm = jnp.clip(pend.parent_mode[k], 0, jnp.maximum(genome.n_modes - 1, 0))
-        keep_a = genome.child_a_keep_adhesion[pm]
-        keep_b = genome.child_b_keep_adhesion[pm]
-        make_adh = genome.parent_make_adhesion[pm]
+        # Adhesion flags come from CHILD A's (resolved) mode, not the
+        # parent's: the reference reads particleData[parentIndex].modeIndex
+        # AFTER the parent slot was overwritten with childAModeIndex
+        # (cs:857 write, cs:933 read) — the split.childAModeIndex is
+        # already resolved in SplitCell (cs:743-745), so it is always in
+        # range and the cs:935 fallback-to-0 never fires for split data.
+        fm = jnp.clip(pend.mode_a[k], 0, jnp.maximum(genome.n_modes - 1, 0))
+        keep_a = genome.child_a_keep_adhesion[fm]
+        keep_b = genome.child_b_keep_adhesion[fm]
+        make_adh = genome.parent_make_adhesion[fm]
 
         bonds_new, dropped = handle_cell_split(
             st.bonds, rot,

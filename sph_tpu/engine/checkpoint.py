@@ -25,12 +25,16 @@ _FORMAT_VERSION = 1
 
 
 def save_checkpoint(path: str, state: SimState, params: SimParams,
-                    genome: Genome) -> None:
+                    genome: Genome, sim_meta: dict | None = None) -> None:
+    """sim_meta: host-level Simulation settings worth restoring (seed,
+    rng_mode) — without them, a later resize() on the loaded sim would
+    initialize grown rows from a different stream than the original run."""
     flat = state_to_numpy(state)
     header = {
         "version": _FORMAT_VERSION,
         "params": dataclasses.asdict(params),
         "genome": [dataclasses.asdict(m) for m in genome.modes],
+        "sim": sim_meta or {},
     }
     np.savez_compressed(path, __header__=json.dumps(header), **flat)
 
@@ -67,4 +71,4 @@ def load_checkpoint(path: str):
         modes.append(GenomeMode(**m))
     genome = Genome(tuple(modes))
     state = _build(SimState, flat, "")
-    return state, params, genome
+    return state, params, genome, header.get("sim", {})

@@ -41,7 +41,7 @@ class Simulation:
         rng_mode: str = "jax",
         auto_grow: bool = False,
         donate: bool = True,
-        scan_chunk: int = 32,
+        scan_chunk: int = 64,   # ≥45 substeps/dispatch at 27-30 ms relay
         mesh=None,
     ):
         self.genome = genome.validate_for_simulation()
@@ -118,8 +118,10 @@ class Simulation:
         """Advance n physics steps.
 
         Steps are batched into lax.scan chunks of `scan_chunk` substeps per
-        dispatch (amortizing the ~5 ms relay dispatch overhead; division and
-        bond rewrites run fully in-jit, so scanning is semantics-preserving).
+        dispatch (amortizing the ~27-30 ms/call axon relay dispatch
+        overhead — remeasured round 3, tools/probe_sub.py; use ≥45
+        substeps/dispatch on TPU. Division and bond rewrites run fully
+        in-jit, so scanning is semantics-preserving).
         Under auto_grow, the chunk size is additionally bounded so the
         population cannot outgrow capacity mid-chunk; the grow check runs
         between chunks (growth policy cs:788-792).
@@ -360,21 +362,27 @@ class Simulation:
     def save(self, path: str) -> None:
         from sph_tpu.engine.checkpoint import save_checkpoint
 
-        save_checkpoint(path, self.state, self.params, self.genome)
+        save_checkpoint(path, self.state, self.params, self.genome,
+                        sim_meta={"seed": self.seed,
+                                  "rng_mode": self.rng_mode})
 
     @classmethod
     def load(cls, path: str, mesh=None) -> "Simulation":
         from sph_tpu.engine.checkpoint import load_checkpoint
 
-        state, params, genome = load_checkpoint(path)
+        state, params, genome, meta = load_checkpoint(path)
         sim = cls.__new__(cls)
         sim.genome = genome
         sim.params = params
-        sim.seed = 0
-        sim.rng_mode = "jax"
+        # Restore the original seed/rng_mode (older checkpoints without
+        # the sim header fall back to the constructor defaults) so a later
+        # resize() initializes grown rows from the SAME stream as the
+        # never-checkpointed run.
+        sim.seed = int(meta.get("seed", 0))
+        sim.rng_mode = str(meta.get("rng_mode", "jax"))
         sim.auto_grow = False
         sim.donate = True
-        sim.scan_chunk = 32
+        sim.scan_chunk = 64
         sim.genome_dev = genome.to_device()
         sim.contact_fn = sim._make_contact_fn(mesh)
         sim._step_cache = {}

@@ -421,6 +421,9 @@ void queue_splits(
     int allowed = n - active_count;
     if (allowed < 0) allowed = 0;
     if (allowed > S) allowed = S;
+    // The reference returns BEFORE the timer-advance loop when there is no
+    // headroom or no modes (cs:648-649): timers freeze at capacity.
+    if (n - active_count <= 0 || n_modes <= 0) { *out_count = 0; return; }
     int count = 0;
     for (int i = 0; i < n; ++i) {
         bool alive = i < active_count;
@@ -655,7 +658,10 @@ void process_splits(
         child_type[pslot] = 0;
         child_type[slot_b] = 1;
 
-        int pm = p_parent_mode[k];
+        // Adhesion flags from CHILD A's resolved mode (the reference reads
+        // particleData[parentIndex].modeIndex AFTER the slot was
+        // overwritten with childAModeIndex, cs:857 write / cs:933 read).
+        int pm = p_mode_a[k];
         if (pm < 0) pm = 0;
         if (pm > n_modes - 1) pm = n_modes - 1;
         if (pm < 0) pm = 0;

@@ -36,12 +36,27 @@ def ensure_built() -> str:
         with _LOCK:
             if not os.path.exists(so):
                 tmp = so + ".tmp"
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                     "-o", tmp, _SRC],
-                    check=True, capture_output=True,
-                    timeout=300,   # the build is ~1 s; never hang a run
-                )
+                # posix_spawn path ONLY (no pipes, close_fds=False, no env/
+                # cwd overrides): capture_output's pipes force CPython onto
+                # fork_exec, and forking a pytest process with dozens of
+                # live XLA threads deadlocked pre-exec (all threads
+                # futex-parked, no g++ child, observed twice in round 3 —
+                # a malloc-lock-at-fork class hang). vfork-based
+                # posix_spawn never runs child-side Python/libc cleanup,
+                # so it cannot inherit a held lock.
+                log_path = os.path.join(_DIR, "_golden_build.log")
+                with open(log_path, "w") as log:
+                    r = subprocess.run(
+                        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                         "-o", tmp, _SRC],
+                        stdout=log, stderr=log, close_fds=False,
+                        timeout=300,   # the build is ~1 s; never hang
+                    )
+                if r.returncode != 0:
+                    with open(log_path) as log:
+                        raise RuntimeError(
+                            "golden.cpp build failed:\n" + log.read()[-2000:]
+                        )
                 os.replace(tmp, so)
     return so
 

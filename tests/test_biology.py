@@ -138,12 +138,45 @@ def test_capacity_cap_stops_division():
 
 
 def test_timer_resets_even_when_deferred():
-    # With capacity 4 all-active, ready cells reset timers without splitting
-    # (cs:682).
+    # With SOME headroom but more ready cells than allowed slots, every
+    # ready cell resets its timer whether it was queued or not (cs:682:
+    # 'Reset timer regardless of whether we can actually split now').
+    from sph_tpu.biology.division import queue_splits
+
     genome = simple_genome()
-    params = SimParams(dt=0.5, capacity=4, max_splits_per_step=4, max_bonds=64)
-    st = run_sim(genome, params, 12, capacity=4)
-    assert float(jnp.max(st.split_timer[:4])) < 1.0
+    gd = genome.to_device()
+    params = SimParams(dt=0.5, capacity=6, max_splits_per_step=4,
+                       max_bonds=64)
+    st = SimState.zeros(6, params).replace_fields(
+        active_count=jnp.int32(4),
+        mode=jnp.zeros(6, jnp.int32),
+        split_timer=jnp.full(6, 0.99, jnp.float32),   # all 4 fire (+0.5)
+    )
+    out = queue_splits(st, params, gd)
+    assert int(out.pending.count) == 2                # allowed = 6 - 4
+    np.testing.assert_allclose(np.asarray(out.split_timer[:4]), 0.0)
+
+
+def test_timers_freeze_at_capacity():
+    # With NO headroom the reference returns before the timer-advance loop
+    # (cs:648-649): timers FREEZE — no advance and no reset — so phases
+    # resume where they stopped after a resize.
+    from sph_tpu.biology.division import queue_splits
+
+    genome = simple_genome()
+    gd = genome.to_device()
+    params = SimParams(dt=0.5, capacity=4, max_splits_per_step=4,
+                       max_bonds=64)
+    st = SimState.zeros(4, params).replace_fields(
+        active_count=jnp.int32(4),
+        mode=jnp.zeros(4, jnp.int32),
+        split_timer=jnp.asarray([0.2, 0.7, 0.99, 1.4], jnp.float32),
+    )
+    out = queue_splits(st, params, gd)
+    assert int(out.pending.count) == 0
+    np.testing.assert_allclose(
+        np.asarray(out.split_timer), [0.2, 0.7, 0.99, 1.4]
+    )
 
 
 def make_bond(b, i, uid_a, uid_b, slot_a, slot_b, zone_a, zone_b,
@@ -361,3 +394,54 @@ def test_drop_only_division_reopens_filter_gate():
     # shortest member: X↔Z stays, X↔W goes.
     assert bool(out.active[1])
     assert not bool(out.active[2])
+
+
+def test_adhesion_flags_come_from_child_a_mode():
+    """The reference reads particleData[parentIndex].modeIndex AFTER the
+    parent slot was overwritten with childAModeIndex (cs:857 write,
+    cs:933 read), so HandleCellSplit's keep/make flags come from CHILD A's
+    mode, not the parent's. Regression: with parent mode 0 (all flags
+    False) transitioning child A to mode 1 (all flags True), the parent's
+    bond must be inherited and the A↔B bond created."""
+    from sph_tpu.biology.division import process_pending_splits, queue_splits
+
+    genome = Genome((
+        GenomeMode(is_initial=True, split_interval=1.0,
+                   parent_make_adhesion=False,
+                   child_a_mode_index=1, child_b_mode_index=1,
+                   child_a_keep_adhesion=False,
+                   child_b_keep_adhesion=False),
+        GenomeMode(split_interval=9.0, parent_make_adhesion=True,
+                   child_a_mode_index=1, child_b_mode_index=1,
+                   child_a_keep_adhesion=True, child_b_keep_adhesion=True),
+    )).validate_for_simulation()
+    gd = genome.to_device()
+    params = SimParams(dt=0.5, capacity=8, max_splits_per_step=4,
+                       max_bonds=16)
+    st = SimState.zeros(8, params).replace_fields(
+        pos=jnp.zeros((8, 3)).at[1].set(jnp.array([3.0, 0.0, 0.0])),
+        mode=jnp.zeros(8, jnp.int32),
+        uid=jnp.arange(1, 9, dtype=jnp.int32),
+        next_uid=jnp.int32(9),
+        active_count=jnp.int32(2),
+        split_timer=jnp.asarray([0.99, 0.0] + [0.0] * 6, jnp.float32),
+        step_count=jnp.int32(10),
+    )
+    # Parent (uid 1, slot 0) bonded to neighbor (uid 2, slot 1); parent
+    # side ZoneB → inherited by child A iff keep_a.
+    st = st.replace_fields(
+        bonds=make_bond(st.bonds, 0, 1, 2, 0, 1, ZONE_B, ZONE_A,
+                        created_step=0)
+    )
+    st = queue_splits(st, params, gd)
+    assert int(st.pending.count) == 1
+    out = process_pending_splits(st, params, gd)
+    b = out.bonds
+    active = np.asarray(b.active)
+    ua, ub = np.asarray(b.uid_a), np.asarray(b.uid_b)
+    pairs = {(int(ua[i]), int(ub[i])) for i in range(len(active))
+             if active[i]}
+    # Child A (uid 9) inherited the ZoneB bond to uid 2 (keep_a from
+    # MODE 1), and the A↔B bond (9, 10) exists (make_adhesion from MODE 1).
+    assert (9, 2) in pairs, pairs
+    assert (9, 10) in pairs, pairs

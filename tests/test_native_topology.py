@@ -208,11 +208,15 @@ def test_process_splits_bond_overflow_matches():
     """Bond capacity too small for the ZoneC duplications + A<->B inserts:
     both implementations must drop the same inserts and count them."""
     gd = rich_genome().to_device()
+    # A FULL bond table (n_active == capacity): inserts can only use slots
+    # freed by the same split's drops, so duplications overflow. (Seed 0
+    # overflows under the child-A-mode flag sourcing; the old seed-7/23
+    # setup only overflowed under the pre-fix parent-mode flags.)
     st, params = random_colony(
-        n=24, active=17, seed=7,
+        n=24, active=17, seed=0,
         params=SimParams(capacity=24, max_bonds=24),
     )
-    st = random_bonds(st, seed=7, n_active=23)
+    st = random_bonds(st, seed=0, n_active=24)
     st = queue_splits(st, params, gd)
     assert int(st.pending.count) > 0
     out = compare_process(st, params, gd)
