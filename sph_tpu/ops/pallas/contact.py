@@ -40,13 +40,16 @@ def _interpret() -> bool:
 
 
 def _pick_yb(spec, nf: int, ncomp: int) -> int:
-    """Largest row-block (multiple of 8, divides NY, ≤ 24: measured best at
-    colony scale — YB 24 < 48 < 8 at 100k; finer blocks skip more empty
-    tiles but pay pad overhead) whose working set fits the VMEM budget."""
+    """Largest row-block (multiple of 8, divides NY, ≤ 48) whose working
+    set fits the VMEM budget. Pre-screen, YB 24 beat 48 (finer tile-skip);
+    with the contact screen gating the pair math, per-instance FIXED cost
+    dominates a settled colony (9 input blocks per field per instance —
+    measured ~5 ms of pure DMA/pad overhead at YB 24, 100k colony), so
+    fewer, larger instances win."""
     NY, L = spec.ny, spec.L
     P = 2 * spec.k - 1
     best = 8
-    for yb in range(8, min(NY, 24) + 1, 8):
+    for yb in range(8, min(NY, 48) + 1, 8):
         if NY % yb:
             continue
         est = 4 * (
@@ -59,7 +62,7 @@ def _pick_yb(spec, nf: int, ncomp: int) -> int:
 
 
 def _contact_kernel(*refs, nf: int, ncomp: int, YB: int, L: int, P: int,
-                    pair_fn, variants):
+                    pair_fn, screen_fn, variants):
     occ_t = refs[0]
     fr = refs[1:1 + nf * 9]
     outs = refs[1 + nf * 9:]
@@ -85,21 +88,52 @@ def _contact_kernel(*refs, nf: int, ncomp: int, YB: int, L: int, P: int,
             pads.append(row)
             cs.append(fr[(f * 3 + 1) * 3][0])   # own block (dz = 0 main)
 
-        accs = [jnp.zeros((YB, L), jnp.float32) for _ in range(ncomp)]
-        for dz, dy, o in variants:
-            qs = [
-                pads[f][dz + 1][1 + dy:1 + dy + YB, P + o:P + o + L]
-                for f in range(nf)
-            ]
-            ts = pair_fn(*cs, *qs)
-            accs = [a + t for a, t in zip(accs, ts)]
-        for c in range(ncomp):
-            outs[c][0] = accs[c]
+        # Tile-level dynamic contact skip: max-accumulate the cheap overlap
+        # margin (screen_fn, ~13 ops/lane/variant over 4 of the nf fields,
+        # pure vector ops) across ALL variants, then gate the full pair
+        # sweep (~90 flops + friction sqrt chain over all nf per variant)
+        # on ONE scalar reduce. A settled colony (rest length > contact
+        # reach) screens out nearly every tile; skipped sweeps would have
+        # contributed exact ±0 (see contact_screen's docstring), so the
+        # accumulator bits match the twin's. Per-VARIANT pl.when was tried
+        # and rejected: 62 scalar reduces + out-ref read-modify-writes per
+        # tile ate the savings (measured ~0 net at a 100k colony).
+        if screen_fn is not None:
+            margin = jnp.full((YB, L), -1.0, jnp.float32)
+            for dz, dy, o in variants:
+                q4 = [
+                    pads[f][dz + 1][1 + dy:1 + dy + YB, P + o:P + o + L]
+                    for f in (0, 1, 2, 9)
+                ]
+                margin = jnp.maximum(
+                    margin, screen_fn(cs[0], cs[1], cs[2], cs[9], *q4)
+                )
+            hit = jnp.max(margin) > 0.0
+        else:
+            hit = True
+
+        @pl.when(hit)
+        def _():
+            accs = [jnp.zeros((YB, L), jnp.float32) for _ in range(ncomp)]
+            for dz, dy, o in variants:
+                qs = [
+                    pads[f][dz + 1][1 + dy:1 + dy + YB, P + o:P + o + L]
+                    for f in range(nf)
+                ]
+                ts = pair_fn(*cs, *qs)
+                accs = [a + t for a, t in zip(accs, ts)]
+            for c in range(ncomp):
+                outs[c][0] = accs[c]
 
 
-def contact_sweep_pallas(fields, occ, spec, pair_fn, ncomp: int = 6):
+def contact_sweep_pallas(fields, occ, spec, pair_fn, ncomp: int = 6,
+                         screen_fn=None):
     """Run the full-stencil own-only sweep; returns ncomp [NZ, NY, L]
-    accumulators (no combine step — there are no mirror parts)."""
+    accumulators (no combine step — there are no mirror parts).
+
+    screen_fn(cx, cy, cz, crad, qx, qy, qz, qrad) -> margin tile feeds the
+    tile-level contact gate (physics.contact_dense.contact_screen
+    semantics; None = always run the pair sweep)."""
     from sph_tpu.physics.contact_dense import contact_variants
 
     NZ, NY, L = fields[0].shape
@@ -118,7 +152,7 @@ def contact_sweep_pallas(fields, occ, spec, pair_fn, ncomp: int = 6):
     variants = contact_variants(spec)
     kernel = functools.partial(
         _contact_kernel, nf=nf, ncomp=ncomp, YB=YB, L=L, P=P,
-        pair_fn=pair_fn, variants=variants,
+        pair_fn=pair_fn, screen_fn=screen_fn, variants=variants,
     )
 
     occ_spec = pl.BlockSpec(
@@ -171,6 +205,12 @@ def contact_sweep_pallas(fields, occ, spec, pair_fn, ncomp: int = 6):
             flops=NZ * NY * L * 90 * n_var,
             bytes_accessed=NZ * NY * L * 4 * (3 * nf + ncomp),
             transcendentals=NZ * NY * L * 2 * n_var,
+        ),
+        # The unrolled screen + pair loops overflow the default 16 MiB
+        # scoped-vmem stack at YB 24 (measured 19.6 MiB at the 100k colony
+        # spec); v5e has 128 MiB VMEM per core, so a 64 MiB scope is safe.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20,
         ),
         interpret=_interpret(),
     )(*args)

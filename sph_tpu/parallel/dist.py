@@ -488,6 +488,7 @@ def make_sharded_contact_forces(params, mesh: Mesh, spec=None,
         _pack_args,
         _sweep_xla,
         contact_pair_terms,
+        contact_screen,
         gather_back,
         make_contact_spec,
     )
@@ -505,6 +506,7 @@ def make_sharded_contact_forces(params, mesh: Mesh, spec=None,
         fields, occ = args[:-1], args[-1]
         padded = tuple(exchange_halo(f, axis) for f in fields)
         pair = lambda *a: contact_pair_terms(params, *a)  # noqa: E731
+        screen = lambda *a: contact_screen(params, *a)  # noqa: E731
         # Honor use_pallas so sharded == single-device holds for BOTH
         # engines (XLA's FMA contraction differs between the two graph
         # shapes on TPU, so always-Pallas would silently diverge from an
@@ -516,7 +518,9 @@ def make_sharded_contact_forces(params, mesh: Mesh, spec=None,
             from sph_tpu.ops.pallas.contact import contact_sweep_pallas
 
             occ_p = exchange_halo(occ, axis)
-            comps = contact_sweep_pallas(padded, occ_p, spec, pair, ncomp=6)
+            comps = contact_sweep_pallas(
+                padded, occ_p, spec, pair, ncomp=6, screen_fn=screen
+            )
         else:
             comps = _sweep_xla(padded, pair, ncomp=6, spec=spec)
         return tuple(c[1:-1] for c in comps)
@@ -564,6 +568,7 @@ def make_sharded_contact_forces_2d(params, mesh: Mesh, spec=None,
         _pack_args,
         _sweep_xla,
         contact_pair_terms,
+        contact_screen,
         gather_back,
         make_contact_spec,
     )
@@ -601,6 +606,7 @@ def make_sharded_contact_forces_2d(params, mesh: Mesh, spec=None,
 
         lspec = dataclasses.replace(spec, ny=rows_local + 8)
         pair = lambda *a: contact_pair_terms(params, *a)  # noqa: E731
+        screen = lambda *a: contact_screen(params, *a)  # noqa: E731
         # use_pallas dispatch: same argument as the 1D builder — XLA-twin
         # rolls on the padded block only corrupt the halo/sentinel rows'
         # OWN results, which the trim below discards.
@@ -608,7 +614,9 @@ def make_sharded_contact_forces_2d(params, mesh: Mesh, spec=None,
             from sph_tpu.ops.pallas.contact import contact_sweep_pallas
 
             occ_p = exchange_halo(ex_y(occ, OCC_FILL), za)
-            comps = contact_sweep_pallas(padded, occ_p, lspec, pair, ncomp=6)
+            comps = contact_sweep_pallas(
+                padded, occ_p, lspec, pair, ncomp=6, screen_fn=screen
+            )
         else:
             comps = _sweep_xla(padded, pair, ncomp=6, spec=lspec)
         return tuple(c[1:-1, 4:4 + rows_local] for c in comps)

@@ -54,7 +54,12 @@ def pair_contact(
     friction_dir = tangent / jnp.maximum(slip, 1e-20)[..., None]
 
     torque_input = jnp.abs(slip * params.torque_factor)
-    friction_mag = jnp.minimum(torque_input ** 1.25, 10.0)
+    # x^1.25 as x·sqrt(sqrt(x)) — matches contact_dense.contact_pair_terms
+    # exactly in form (lax.pow's exp/log lowering costs 2 transcendentals
+    # per lane; the sqrt chain agrees to ≤2 ulp and is exact at 0).
+    friction_mag = jnp.minimum(
+        torque_input * jnp.sqrt(jnp.sqrt(torque_input)), 10.0
+    )
 
     torque_r_scale = overlap_falloff ** 2
     eff_torque_i = (

@@ -163,7 +163,13 @@ def contact_pair_terms(params: SimParams,
     slipping = in_contact * (slip > params.slip_epsilon).astype(jnp.float32)
 
     torque_input = jnp.abs(slip * params.torque_factor)
-    friction_mag = jnp.minimum(torque_input ** 1.25, 10.0)
+    # x^1.25 as x·sqrt(sqrt(x)): lax.pow lowers to exp(1.25·log x) — two
+    # transcendentals per lane per swept variant, a large slice of the
+    # colony sweep's VPU time. The sqrt chain is exact at 0 and agrees to
+    # ≤2 ulp. physics/contact.py uses the SAME form (twin contract).
+    friction_mag = jnp.minimum(
+        torque_input * jnp.sqrt(jnp.sqrt(torque_input)), 10.0
+    )
 
     # τ_own = cross(u, f̂·mag)·falloff²·mult·eff_i (compute:282-294).
     scale = (
@@ -182,9 +188,43 @@ def contact_pair_terms(params: SimParams,
 # self-reject arithmetically. parallel/dist.py pads its halo/alignment
 # planes with the SAME values — they must stay byte-identical to the
 # scatter fills below or pad planes stop being inert.
+#
+# The sentinel RADIUS is large-negative (not 1.0): two sentinel lanes sit
+# at the same position (dist 0), so a positive fill radius would give them
+# overlap > ε — harmless for the outputs (their pair direction is 0, every
+# term an exact ±0) but it would defeat the Pallas kernel's per-variant
+# contact prescreen (contact_screen below), which must see NO possible
+# contact in a settled tile. −1e3 dominates any real effective radius, so
+# every sentinel pairing screens (and gates) negative.
 FIELD_FILLS = (SENTINEL, SENTINEL, SENTINEL,
-               0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+               0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0e3)
 OCC_FILL = 0.0
+
+
+def contact_screen(params: SimParams, cx, cy, cz, crad, qx, qy, qz, qrad):
+    """Variant prescreen: per-lane contact MARGIN (overlap −
+    contact_epsilon, same overlap arithmetic as contact_pair_terms) for one
+    stencil offset. The Pallas kernel max-accumulates this over all
+    variants (~13 ops/lane/variant, no reduces, no branches) and gates the
+    ENTIRE full pair sweep of a tile on one scalar `max > 0` test.
+
+    A settled colony sits at the adhesion rest length (2.96 > contact reach
+    2.0 in the reference genome, config.py), so almost no tile has a
+    touching pair at any offset — the sweep then costs only this screen.
+    Skipping is bitwise-invisible: every pair term of a no-contact pair is
+    an exact ±0 (fmag and the torque scale both carry the
+    in_contact/slipping zero factor), and the accumulators never hold −0.0
+    (they start at +0.0 and (+x)+(−x) rounds to +0.0), so skipping the adds
+    keeps the twin's bits. Sentinel lanes screen negative via the −1e3
+    radius fill (FIELD_FILLS above)."""
+    dx = cx - qx
+    dy = cy - qy
+    dz = cz - qz
+    r2 = dx * dx + dy * dy + dz * dz
+    rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
+    dist = r2 * rinv
+    overlap = crad * 0.5 + qrad * 0.5 - dist
+    return overlap - params.contact_epsilon
 
 
 def gather_back(comps_flat, slot_of, overflow):
@@ -313,10 +353,13 @@ def contact_forces_dense(state: SimState, params: SimParams,
     fields, occ, slot_of, overflow = _pack_args(state, spec)
 
     pair = lambda *a: contact_pair_terms(params, *a)  # noqa: E731
+    screen = lambda *a: contact_screen(params, *a)  # noqa: E731
     if getattr(params, "use_pallas", False):
         from sph_tpu.ops.pallas.contact import contact_sweep_pallas
 
-        comps = contact_sweep_pallas(fields, occ, spec, pair, ncomp=6)
+        comps = contact_sweep_pallas(
+            fields, occ, spec, pair, ncomp=6, screen_fn=screen
+        )
     else:
         comps = _sweep_xla(fields, pair, ncomp=6, spec=spec)
     return gather_back(

@@ -375,3 +375,38 @@ def test_out_of_domain_particles_bin_interior_all_engines_agree():
             atol=2e-4 * float(jnp.abs(tb).max()),
             err_msg=f"torque use_pallas={use_pallas}",
         )
+
+
+def test_dense_contact_settled_screen_skips_to_zero():
+    """A settled colony (every pair farther apart than the contact reach —
+    the adhesion-rest-length steady state, engine/colony.py) must produce
+    exactly zero forces through the Pallas path, where the tile-level
+    contact screen (ops/pallas/contact.py) skips every pair sweep, AND
+    through the XLA twin, which computes the full sweep — the screen's
+    'skipped variants contribute exact ±0' argument, asserted end to end."""
+    import jax
+
+    from sph_tpu.physics.contact_dense import contact_forces_dense
+
+    n = 64
+    params = SimParams(capacity=n, spawn_radius=14.0, dense_k=2)
+    # 4x4x4 lattice at spacing 3.0 > reach 2.0 (radius 2.0, eff 1.0+1.0).
+    ax = (jnp.arange(4, dtype=jnp.float32) - 1.5) * 3.0
+    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    pos = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
+    st = SimState.zeros(n, params)
+    st = st.replace_fields(
+        pos=pos,
+        vel=jnp.ones((n, 3)) * 0.3,          # motion, but no contact
+        ang_vel=jnp.ones((n, 3)) * 0.2,
+        radius=jnp.full(n, 2.0),
+        active_count=jnp.int32(n),
+    )
+    for use_pallas in (False, True):
+        f, t, ovf = jax.jit(
+            lambda s, p=params.replace(use_pallas=use_pallas):
+            contact_forces_dense(s, p)
+        )(st)
+        assert int(ovf) == 0
+        np.testing.assert_array_equal(np.asarray(f), 0.0)
+        np.testing.assert_array_equal(np.asarray(t), 0.0)
