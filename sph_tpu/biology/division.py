@@ -21,22 +21,15 @@ from sph_tpu.core.types import GenomeDevice, PendingSplits, SimParams, SimState
 from sph_tpu.biology.bonds import handle_cell_split
 
 
-def queue_splits(
-    state: SimState, params: SimParams, genome: GenomeDevice, dt=None
-) -> SimState:
-    """Advance timers, detect ready cells (slot order, capacity-capped), and
-    queue their split data computed from CURRENT pose (cs:652-778).
-
-    The pending-buffer bound S (params.max_splits_per_step) composes with
-    the reference's own allowance mechanism: ready cells beyond the
-    allowance reset their timer and wait a full interval (cs:682), exactly
-    what the reference does to ready cells beyond its capacity headroom —
-    S is just a tighter allowance. It exists because the pending pytree is
-    fixed-shape under jit."""
+def division_ready(state: SimState, params: SimParams, genome: GenomeDevice,
+                   dt=None):
+    """The timer-advance + readiness test shared by queue_splits and the
+    resident-window gate (physics/resident.py): returns (timer_advanced,
+    ready_mask, mode_clipped) with EXACTLY queue_splits' arithmetic, so
+    'would any cell divide this step?' is decided bit-identically by both
+    callers (cs:648-659 semantics incl. the 0.001 epsilon)."""
     N = state.capacity
-    S = state.pending.parent_slot.shape[0]
-    slots = jnp.arange(N)
-    alive = slots < state.active_count
+    alive = jnp.arange(N) < state.active_count
     dt = params.dt if dt is None else dt
 
     n_modes = genome.n_modes
@@ -52,6 +45,24 @@ def queue_splits(
     mode_c = jnp.clip(state.mode, 0, jnp.maximum(n_modes - 1, 0))
     interval = genome.split_interval[mode_c]
     ready = gate & mode_valid & (timer >= interval - 0.001)  # cs:659 epsilon
+    return timer, ready, mode_c
+
+
+def queue_splits(
+    state: SimState, params: SimParams, genome: GenomeDevice, dt=None
+) -> SimState:
+    """Advance timers, detect ready cells (slot order, capacity-capped), and
+    queue their split data computed from CURRENT pose (cs:652-778).
+
+    The pending-buffer bound S (params.max_splits_per_step) composes with
+    the reference's own allowance mechanism: ready cells beyond the
+    allowance reset their timer and wait a full interval (cs:682), exactly
+    what the reference does to ready cells beyond its capacity headroom —
+    S is just a tighter allowance. It exists because the pending pytree is
+    fixed-shape under jit."""
+    N = state.capacity
+    S = state.pending.parent_slot.shape[0]
+    timer, ready, mode_c = division_ready(state, params, genome, dt=dt)
 
     allowed = jnp.maximum(N - state.active_count, 0)  # cs:648
     allowed = jnp.minimum(allowed, S)

@@ -218,6 +218,13 @@ class SimParams:
     dense_cell_factor: float = 1.05
     # Dense mode: run the Pallas kernels (False = the XLA twin).
     use_pallas: bool = False
+    # Dense mode: slot-resident windowed stepping (physics/resident.py) —
+    # topology-quiet steps run entirely in the dense layout, skipping the
+    # per-step pack/unpack. Last-ulp + rebin-reorder tolerance vs the
+    # classic path; single-device only. Opt-in: measured SLOWER than the
+    # classic path at bonded-colony occupancy (see the module docstring
+    # for the trade) — enable only for high-occupancy packings.
+    resident: bool = False
     contact_epsilon: float = 0.001
     slip_epsilon: float = 1e-4
 

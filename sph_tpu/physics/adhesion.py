@@ -27,38 +27,28 @@ def _axis_angle_delta(axis, angle, q):
     return quat.mul(rq, q) - q
 
 
-def bond_deltas(state: SimState, params: SimParams, genome: GenomeDevice,
-                dt=None):
-    """Per-bond velocity/rotation deltas → per-particle sums [N,3], [N,4]."""
-    b = state.bonds
-    B = b.capacity
-    N = state.capacity
-    dt = params.dt if dt is None else dt
-
-    idx_a = jnp.clip(b.slot_a, 0, N - 1)
-    idx_b = jnp.clip(b.slot_b, 0, N - 1)
-    valid = b.active & (b.slot_a >= 0) & (b.slot_b >= 0)
-
-    # Per-bond spring params from mode uid_A % n_modes (CAM:537) — the
-    # reference quirk: NOT the cell's actual mode.
+def bond_spring_params(bonds, genome: GenomeDevice):
+    """Per-bond spring params from mode uid_A % n_modes (CAM:537) — the
+    reference quirk: NOT the cell's actual mode. Returns (rest, stiff,
+    damp, anchor_stiff), each [B]. Shared by the per-step path below and
+    the resident window's pack-time precompute (physics/resident.py —
+    uid_a is frozen in-window, so these four gathers amortize)."""
     n_modes = jnp.maximum(genome.n_modes, 1)
-    mode = jnp.clip(b.uid_a % n_modes, 0, n_modes - 1)
+    mode = jnp.clip(bonds.uid_a % n_modes, 0, n_modes - 1)
     rest = genome.adhesion_rest_length[mode]
     stiff = genome.adhesion_spring_stiffness[mode]
     damp = genome.adhesion_spring_damping[mode]
     anchor_stiff = genome.orientation_constraint_strength[mode] * 10.0  # CAM:559
+    return rest, stiff, damp, anchor_stiff
 
-    # ONE wide-row gather per endpoint: separate per-field gathers are
-    # descriptor-bound (~13× slower for the same bytes, measured on v5e);
-    # a 12-lane row rides the same descriptor at ~HBM speed.
-    tbl = jnp.concatenate(
-        [state.pos, state.vel, state.rot,
-         state.mass[:, None], jnp.zeros((N, 1), jnp.float32)], axis=1,
-    )                                                     # [N, 12]
-    ga, gb = tbl[idx_a], tbl[idx_b]
-    pos_a, vel_a, q_a, m_a = ga[:, 0:3], ga[:, 3:6], ga[:, 6:10], ga[:, 10]
-    pos_b, vel_b, q_b, m_b = gb[:, 0:3], gb[:, 3:6], gb[:, 6:10], gb[:, 10]
 
+def bond_pair_deltas(b, valid, rest, stiff, damp, anchor_stiff,
+                     pos_a, vel_a, q_a, m_a, pos_b, vel_b, q_b, m_b,
+                     params: SimParams, dt):
+    """Per-bond constraint math (compute:436-583) on pre-gathered endpoint
+    rows. Returns (dv_a, dq_a, dv_b, dq_b), zero where not valid/enabled.
+    Shared verbatim by the particle-order pass and the slot-resident twin
+    so both trace the same expression tree."""
     # --- Spring (distance) constraint (compute:436-456) ---
     delta = pos_b - pos_a
     dist = jnp.linalg.norm(delta, axis=-1)
@@ -119,18 +109,54 @@ def bond_deltas(state: SimState, params: SimParams, genome: GenomeDevice,
     dq_b = dq_b + jnp.where(
         orient_ok[:, None], _axis_angle_delta(corr_axis, angle_b, q_b), 0.0
     )
+    return dv_a, dq_a, dv_b, dq_b
 
-    # Scatter-free accumulation: ONE row segment-sum of the [Δv|Δq] rows by
-    # endpoint slot (two 3/4-wide scatters pay the descriptor cost twice).
-    seg_a = jnp.where(valid, idx_a, N)  # N = drop bucket
-    seg_b = jnp.where(valid, idx_b, N)
+
+def accumulate_bond_deltas(dv_a, dq_a, dv_b, dq_b, seg_a, seg_b, n_rows):
+    """Scatter-free accumulation: ONE row segment-sum of the [Δv|Δq] rows
+    by endpoint row id (two 3/4-wide scatters pay the descriptor cost
+    twice). Row ids ≥ n_rows are the drop bucket. Returns (Δv [n,3],
+    Δq [n,4])."""
     idx_all = jnp.concatenate([seg_a, seg_b])
     rows = jnp.concatenate([
         jnp.concatenate([dv_a, dq_a], axis=1),
         jnp.concatenate([dv_b, dq_b], axis=1),
     ])                                                    # [2B, 7]
-    acc = jax.ops.segment_sum(rows, idx_all, num_segments=N + 1)[:N]
+    acc = jax.ops.segment_sum(rows, idx_all, num_segments=n_rows + 1)[:n_rows]
     return acc[:, :3], acc[:, 3:]
+
+
+def bond_deltas(state: SimState, params: SimParams, genome: GenomeDevice,
+                dt=None):
+    """Per-bond velocity/rotation deltas → per-particle sums [N,3], [N,4]."""
+    b = state.bonds
+    N = state.capacity
+    dt = params.dt if dt is None else dt
+
+    idx_a = jnp.clip(b.slot_a, 0, N - 1)
+    idx_b = jnp.clip(b.slot_b, 0, N - 1)
+    valid = b.active & (b.slot_a >= 0) & (b.slot_b >= 0)
+
+    rest, stiff, damp, anchor_stiff = bond_spring_params(b, genome)
+
+    # ONE wide-row gather per endpoint: separate per-field gathers are
+    # descriptor-bound (~13× slower for the same bytes, measured on v5e);
+    # a 12-lane row rides the same descriptor at ~HBM speed.
+    tbl = jnp.concatenate(
+        [state.pos, state.vel, state.rot,
+         state.mass[:, None], jnp.zeros((N, 1), jnp.float32)], axis=1,
+    )                                                     # [N, 12]
+    ga, gb = tbl[idx_a], tbl[idx_b]
+    pos_a, vel_a, q_a, m_a = ga[:, 0:3], ga[:, 3:6], ga[:, 6:10], ga[:, 10]
+    pos_b, vel_b, q_b, m_b = gb[:, 0:3], gb[:, 3:6], gb[:, 6:10], gb[:, 10]
+
+    dv_a, dq_a, dv_b, dq_b = bond_pair_deltas(
+        b, valid, rest, stiff, damp, anchor_stiff,
+        pos_a, vel_a, q_a, m_a, pos_b, vel_b, q_b, m_b, params, dt,
+    )
+    seg_a = jnp.where(valid, idx_a, N)  # N = drop bucket
+    seg_b = jnp.where(valid, idx_b, N)
+    return accumulate_bond_deltas(dv_a, dq_a, dv_b, dq_b, seg_a, seg_b, N)
 
 
 def apply_adhesion(

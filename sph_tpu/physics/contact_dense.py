@@ -239,11 +239,14 @@ def gather_back(comps_flat, slot_of, overflow):
     return ft[:, :3], ft[:, 3:], overflow
 
 
-def _pack_args(state: SimState, spec: ContactSpec):
-    """In-jit pack: (fields [10][Z,Y,L], occ, slot_of_particle, overflow)."""
+def _sort_particles(state: SimState, spec: ContactSpec):
+    """Cell id → stable argsort → within-cell rank. Returns (order [N],
+    flat [N] dense-slot index in SORTED order with `spec.slots` the drop
+    bucket, fits [N] bool sorted order, overflow i32, slot_of [N] i32 in
+    PARTICLE order). Shared by _pack_args and the resident window pack
+    (physics/resident.py)."""
     N = state.capacity
     K = spec.k
-    L = spec.L
     slots = spec.slots
     alive = jnp.arange(N) < state.active_count
 
@@ -281,16 +284,22 @@ def _pack_args(state: SimState, spec: ContactSpec):
     flat = cid_s * K + rank                       # == (z·ny+y)·L + x·K + m
     flat = jnp.where(fits, flat, slots)
 
-    # ONE wide-row gather reorders all 11 fields (11 per-column [N] gathers
-    # are descriptor-bound — they were ~10 ms of the 100k frame); the
-    # column SCATTERS stay separate (measured faster than a row scatter).
-    tbl = jnp.concatenate(
-        [state.pos, state.vel, state.ang_vel,
-         state.radius[:, None], jnp.ones((N, 1), jnp.float32)], axis=1,
-    )                                             # [N, 11]
-    sorted_rows = tbl[order]
+    # slot_of_particle: flat dense slot per original index (slots = dropped).
+    slot_of = jnp.full(N, slots, jnp.int32).at[order].set(
+        flat.astype(jnp.int32)
+    )
+    return order, flat, fits, overflow, slot_of
 
-    fills = FIELD_FILLS + (OCC_FILL,)
+
+def _scatter_table(tbl, fills, order, flat, fits, spec: ContactSpec):
+    """Scatter an [N, F] particle-order column table into F planar [Z, Y, L]
+    arrays. ONE wide-row gather reorders all F columns (F per-column [N]
+    gathers are descriptor-bound — they were ~10 ms of the 100k frame); the
+    column SCATTERS stay separate (measured faster than a row scatter —
+    8.7 vs 14.4 ms at 100k regardless of row alignment/uniqueness,
+    tools/probe_pack.py)."""
+    slots = spec.slots
+    sorted_rows = tbl[order]
 
     def scatter(c):
         fill = fills[c]
@@ -299,13 +308,19 @@ def _pack_args(state: SimState, spec: ContactSpec):
         )
         return out[:slots].reshape(spec.shape())
 
-    px, py, pz, vx, vy, vz, ox, oy, oz, rad, occ = (
-        scatter(c) for c in range(11)
-    )
+    return [scatter(c) for c in range(tbl.shape[1])]
 
-    # slot_of_particle: flat dense slot per original index (slots = dropped).
-    slot_of = jnp.full(N, slots, jnp.int32).at[order].set(
-        flat.astype(jnp.int32)
+
+def _pack_args(state: SimState, spec: ContactSpec):
+    """In-jit pack: (fields [10][Z,Y,L], occ, slot_of_particle, overflow)."""
+    N = state.capacity
+    order, flat, fits, overflow, slot_of = _sort_particles(state, spec)
+    tbl = jnp.concatenate(
+        [state.pos, state.vel, state.ang_vel,
+         state.radius[:, None], jnp.ones((N, 1), jnp.float32)], axis=1,
+    )                                             # [N, 11]
+    px, py, pz, vx, vy, vz, ox, oy, oz, rad, occ = _scatter_table(
+        tbl, FIELD_FILLS + (OCC_FILL,), order, flat, fits, spec
     )
     fields = (px, py, pz, vx, vy, vz, ox, oy, oz, rad)
     return fields, occ, slot_of, overflow
