@@ -130,24 +130,45 @@ def bonded_colony(
     mode0 = genome.modes[0]
     spacing = float(mode0.adhesion_rest_length)
     rng = np.random.default_rng(seed)
-    pos = _lattice_ball(n, spacing, jitter, rng)
-    R = float(np.linalg.norm(pos, axis=-1).max())
 
-    pairs = _neighbor_bonds(pos, spacing)
-    # Iterate to FilterBonds' fixed point (removals can cascade: pruning a
-    # group's min from its other endpoint exposes a new min next pass) so
-    # the device table is seeded at its true steady-state size — the
-    # adhesion/pruning passes cost table CAPACITY.
-    while True:
-        ia, ib = pairs[:, 0], pairs[:, 1]
-        d0 = pos[ib] - pos[ia]
-        d0 = d0 / np.maximum(
-            np.linalg.norm(d0, axis=-1, keepdims=True), 1e-12
-        )
-        kept = _steady_state_prune(pairs, pos, _classify(d0), _classify(-d0))
-        if len(kept) == len(pairs):
-            break
-        pairs = kept
+    # The lattice + neighbor-pair + prune-fixed-point construction is pure
+    # host numpy/Python (the dict walk in _neighbor_bonds is ~minutes at
+    # 1M), so memoize (pos, pairs) on disk keyed by its exact inputs. On a
+    # hit the rng is burned identically to the miss path so every later
+    # draw (drag) matches bit-for-bit.
+    import pathlib
+
+    cache = (pathlib.Path(__file__).resolve().parents[2] / ".cache"
+             / f"colony_v1_n{n}_s{spacing!r}_j{jitter!r}_seed{seed}.npz")
+    if cache.exists():
+        with np.load(cache) as z:
+            pos, pairs = z["pos"], z["pairs"]
+        rng.uniform(-jitter, jitter, (n, 3))     # burn the jitter draw
+    else:
+        pos = _lattice_ball(n, spacing, jitter, rng)
+        pairs = _neighbor_bonds(pos, spacing)
+        # Iterate to FilterBonds' fixed point (removals can cascade:
+        # pruning a group's min from its other endpoint exposes a new min
+        # next pass) so the device table is seeded at its true steady-state
+        # size — the adhesion/pruning passes cost table CAPACITY.
+        while True:
+            ia, ib = pairs[:, 0], pairs[:, 1]
+            d0 = pos[ib] - pos[ia]
+            d0 = d0 / np.maximum(
+                np.linalg.norm(d0, axis=-1, keepdims=True), 1e-12
+            )
+            kept = _steady_state_prune(
+                pairs, pos, _classify(d0), _classify(-d0)
+            )
+            if len(kept) == len(pairs):
+                break
+            pairs = kept
+        try:
+            cache.parent.mkdir(exist_ok=True)
+            np.savez_compressed(cache, pos=pos, pairs=pairs)
+        except OSError:
+            pass
+    R = float(np.linalg.norm(pos, axis=-1).max())
     nb = len(pairs)
     max_bonds = param_overrides.pop("max_bonds", None)
     if max_bonds is None:
