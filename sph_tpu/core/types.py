@@ -227,6 +227,11 @@ class SimParams:
     resident: bool = False
     contact_epsilon: float = 0.001
     slip_epsilon: float = 1e-4
+    # Adhesion accumulation: "auto" = planned scatter-free accumulate for
+    # bond tables >= 64k endpoint rows (engine/step.use_bond_plan), "on" /
+    # "off" force it. Planned differs from segment_sum only by scan-tree
+    # reassociation (last-ulp).
+    adhesion_plan: str = "auto"
 
     def replace(self, **kw) -> "SimParams":
         return dataclasses.replace(self, **kw)

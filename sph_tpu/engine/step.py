@@ -38,7 +38,7 @@ def contact_forces(state: SimState, params: SimParams):
 
 
 def step(state: SimState, params: SimParams, genome: GenomeDevice,
-         dt=None, contact_fn=None) -> SimState:
+         dt=None, contact_fn=None, bond_plan=None) -> SimState:
     """One full frame (DESIGN.md §3). `params` is static; jit with
     static_argnums/closure.
 
@@ -52,7 +52,14 @@ def step(state: SimState, params: SimParams, genome: GenomeDevice,
     run the contact sweep decomposed over a device mesh
     (parallel/dist.make_sharded_contact_forces[_2d]) while division, bonds
     and integration stay replicated; results are bitwise equal either way
-    (tests/test_dist.py)."""
+    (tests/test_dist.py).
+
+    `bond_plan` (optional): a physics.adhesion.BondPlan valid for THIS
+    step's bond topology — the adhesion accumulate then runs scatter-free.
+    The caller owns validity: it must be None on any step where
+    process_pending_splits can apply a split (pending.count > 0 at entry),
+    since division rewrites bond endpoints (run_steps gates on exactly
+    that)."""
     # 1-2. Division: apply last step's queued splits, then advance timers and
     #      queue new ones (cs:253 runs before all dispatches).
     state = process_pending_splits(state, params, genome)
@@ -69,7 +76,7 @@ def step(state: SimState, params: SimParams, genome: GenomeDevice,
     )
 
     # 5. Adhesion constraints (K10/K11) — reads post-contact velocities.
-    state = apply_adhesion(state, params, genome, dt=dt)
+    state = apply_adhesion(state, params, genome, dt=dt, plan=bond_plan)
 
     # 6. Interactive drag impulse (K5).
     state = apply_drag_force(state, params, dt=dt)
@@ -108,14 +115,60 @@ def make_step_fn(params: SimParams, donate: bool = True, contact_fn=None):
     return _STEP_CACHE[key]
 
 
+def use_bond_plan(params: SimParams, state: SimState) -> bool:
+    """Static decision (bond capacity is a shape): the planned adhesion
+    accumulate wins once segment_sum's random RMW spills the per-particle
+    accumulator off-chip (~26.8 vs 213 ms at a 1M colony; parity around
+    ~64k endpoint rows — physics/adhesion.py planned section). Below the
+    threshold the plain path also keeps small scenes (and the golden
+    reference trace) bitwise-identical to previous releases."""
+    mode = getattr(params, "adhesion_plan", "auto")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    return state.bonds.capacity >= 65536
+
+
 def run_steps(state: SimState, params: SimParams, genome: GenomeDevice,
               n_steps: int, dts=None, contact_fn=None) -> SimState:
     """Roll n physics steps with lax.scan (for benchmarking / headless runs).
 
     dts: optional [n_steps] array of per-step dt values (variable-dt compat,
-    cs:246); None = fixed params.dt."""
-    def body(st, dt):
-        return step(st, params, genome, dt=dt, contact_fn=contact_fn), None
+    cs:246); None = fixed params.dt.
 
-    state, _ = jax.lax.scan(body, state, dts, length=n_steps)
+    Large bond tables run the planned adhesion accumulate (use_bond_plan):
+    the scan carries a BondPlan, applies it on topology-quiet steps
+    (pending.count == 0 at entry — a split application is the only thing
+    that rewrites bond endpoints), falls back to the plain segment_sum
+    step when splits are pending, and rebuilds the plan right after."""
+    if not use_bond_plan(params, state):
+        def body(st, dt):
+            return step(st, params, genome, dt=dt,
+                        contact_fn=contact_fn), None
+
+        state, _ = jax.lax.scan(body, state, dts, length=n_steps)
+        return state
+
+    from sph_tpu.physics.adhesion import build_bond_plan
+
+    def body(carry, dt):
+        st, plan = carry
+        quiet = st.pending.count == 0
+        st2 = jax.lax.cond(
+            quiet,
+            lambda s: step(s, params, genome, dt=dt, contact_fn=contact_fn,
+                           bond_plan=plan),
+            lambda s: step(s, params, genome, dt=dt,
+                           contact_fn=contact_fn),
+            st,
+        )
+        plan2 = jax.lax.cond(
+            quiet, lambda _: plan,
+            lambda s: build_bond_plan(s.bonds, s.capacity), st2,
+        )
+        return (st2, plan2), None
+
+    plan0 = build_bond_plan(state.bonds, state.capacity)
+    (state, _), _ = jax.lax.scan(body, (state, plan0), dts, length=n_steps)
     return state

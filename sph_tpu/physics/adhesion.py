@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from sph_tpu.core import quat
-from sph_tpu.core.types import GenomeDevice, SimParams, SimState
+from sph_tpu.core.types import (
+    GenomeDevice,
+    SimParams,
+    SimState,
+    pytree_dataclass,
+)
 
 
 def _axis_angle_delta(axis, angle, q):
@@ -126,9 +131,127 @@ def accumulate_bond_deltas(dv_a, dq_a, dv_b, dq_b, seg_a, seg_b, n_rows):
     return acc[:, :3], acc[:, 3:]
 
 
+# --- Planned (settled-window) accumulation -------------------------------
+#
+# segment_sum's scatter-add is a random read-modify-write per endpoint row;
+# once the per-particle accumulator no longer sits on-chip it costs ~60 ns
+# PER ROW (213 ms at a 1M bonded colony, tools/probe_adhesion3.py — and
+# `indices_are_sorted` does not help: the lowering is the whale, not the
+# order). The planned path removes the RMW entirely: the endpoint rows are
+# permuted into particle-sorted order ONCE per bond-table change (the
+# argsort is frozen while the table is settled — the same fixed-point
+# window as biology.bonds.filter_bonds), then each step is one row
+# permute-gather + a segmented Hillis-Steele scan (pad/shift/select only)
+# + one boundary gather. Measured 26.8 ms vs 213 at 1M; the plan rebuild
+# (47.9 ms) is paid only on division steps and chunk starts.
+#
+# A stale-validity plan stays CORRECT: bond_pair_deltas zeroes every
+# component of invalid bonds, so a bond pruned after the plan was built
+# contributes exact zeros to its (stale) run. Only slot rewrites and new
+# bonds invalidate a plan — both happen exclusively inside
+# process_pending_splits, so `pending.count == 0` at step start proves the
+# plan valid for the whole step (engine/step.run_steps gates on exactly
+# that and rebuilds after division steps).
+
+_SEG_W = 512
+
+
+@pytree_dataclass
+class BondPlan:
+    """Frozen accumulation order for one bond-table topology.
+
+    perm [Mp]: endpoint-row order sorted by particle id (Mp = 2B padded to
+    a multiple of _SEG_W; padding and invalid rows sort into the drop run).
+    flags [Mp]: run starts in sorted order. last [n] / has [n]: per
+    particle, the sorted-row index holding its run total (clipped; has
+    masks particles with no bonds)."""
+
+    perm: jnp.ndarray
+    flags: jnp.ndarray
+    last: jnp.ndarray
+    has: jnp.ndarray
+
+
+def build_bond_plan(bonds, n_rows: int) -> BondPlan:
+    """argsort the 2B endpoint rows by particle id (stable: A-side rows of
+    a particle stay before its B-side rows, each in bond order — the same
+    relative order segment_sum accumulates in)."""
+    B = bonds.capacity
+    M = 2 * B
+    Mp = -(-M // _SEG_W) * _SEG_W
+    idx_a = jnp.clip(bonds.slot_a, 0, n_rows - 1)
+    idx_b = jnp.clip(bonds.slot_b, 0, n_rows - 1)
+    valid = bonds.active & (bonds.slot_a >= 0) & (bonds.slot_b >= 0)
+    seg = jnp.concatenate([
+        jnp.where(valid, idx_a, n_rows),
+        jnp.where(valid, idx_b, n_rows),
+        jnp.full((Mp - M,), n_rows, jnp.int32),
+    ])
+    perm = jnp.argsort(seg)                       # stable by default
+    seg_s = seg[perm]
+    flags = jnp.concatenate(
+        [jnp.ones(1, bool), seg_s[1:] != seg_s[:-1]])
+    is_last = jnp.concatenate(
+        [seg_s[1:] != seg_s[:-1], jnp.ones(1, bool)])
+    tgt = jnp.where(is_last & (seg_s < n_rows), seg_s, n_rows)
+    last = jnp.full(n_rows + 1, -1, jnp.int32).at[tgt].set(
+        jnp.arange(Mp, dtype=jnp.int32))[:n_rows]
+    return BondPlan(perm=perm.astype(jnp.int32), flags=flags,
+                    last=jnp.clip(last, 0, Mp - 1), has=last >= 0)
+
+
+def _blocked_segscan(rs, flags):
+    """Inclusive SEGMENTED prefix over [Mp, 7] rows with run-start flags:
+    a two-level Hillis-Steele of pad/slice/select ops only — no scatters
+    (the point) and no lax.associative_scan (compiles pathologically at
+    ~10⁶ rows). Identity element is (flag=False, value=0)."""
+    M = rs.shape[0]
+    W = _SEG_W
+    Mb = M // W
+    v = rs.reshape(Mb, W, 7)
+    f = flags.reshape(Mb, W)
+    d = 1
+    while d < W:
+        vs = jnp.pad(v, ((0, 0), (d, 0), (0, 0)))[:, :W]
+        fs = jnp.pad(f, ((0, 0), (d, 0)), constant_values=False)[:, :W]
+        v = jnp.where(f[..., None], v, v + vs)
+        f = f | fs
+        d *= 2
+    bt_v, bt_f = v[:, -1], f[:, -1]
+    d = 1
+    while d < Mb:
+        vs = jnp.pad(bt_v, ((d, 0), (0, 0)))[:Mb]
+        fs = jnp.pad(bt_f, ((d, 0),), constant_values=False)[:Mb]
+        bt_v = jnp.where(bt_f[:, None], bt_v, bt_v + vs)
+        bt_f = bt_f | fs
+        d *= 2
+    pre_v = jnp.pad(bt_v, ((1, 0), (0, 0)))[:Mb]
+    # Rows before their block's first run start continue the open run.
+    v = jnp.where(f[..., None], v, v + pre_v[:, None, :])
+    return v.reshape(M, 7)
+
+
+def accumulate_bond_deltas_planned(dv_a, dq_a, dv_b, dq_b, plan: BondPlan):
+    """Planned twin of accumulate_bond_deltas (same [2B, 7] row stream,
+    same per-particle value multiset in the same relative order; the scan
+    tree reassociates the sum — last-ulp vs segment_sum)."""
+    rows = jnp.concatenate([
+        jnp.concatenate([dv_a, dq_a], axis=1),
+        jnp.concatenate([dv_b, dq_b], axis=1),
+    ])
+    Mp = plan.perm.shape[0]
+    rows = jnp.pad(rows, ((0, Mp - rows.shape[0]), (0, 0)))
+    cs = _blocked_segscan(rows[plan.perm], plan.flags)
+    acc = jnp.where(plan.has[:, None], cs[plan.last], 0.0)
+    return acc[:, :3], acc[:, 3:]
+
+
 def bond_deltas(state: SimState, params: SimParams, genome: GenomeDevice,
-                dt=None):
-    """Per-bond velocity/rotation deltas → per-particle sums [N,3], [N,4]."""
+                dt=None, plan: BondPlan | None = None):
+    """Per-bond velocity/rotation deltas → per-particle sums [N,3], [N,4].
+
+    `plan` (optional): a BondPlan valid for this step's bond topology —
+    accumulation then runs scatter-free (see the planned section above)."""
     b = state.bonds
     N = state.capacity
     dt = params.dt if dt is None else dt
@@ -154,17 +277,20 @@ def bond_deltas(state: SimState, params: SimParams, genome: GenomeDevice,
         b, valid, rest, stiff, damp, anchor_stiff,
         pos_a, vel_a, q_a, m_a, pos_b, vel_b, q_b, m_b, params, dt,
     )
+    if plan is not None:
+        return accumulate_bond_deltas_planned(dv_a, dq_a, dv_b, dq_b, plan)
     seg_a = jnp.where(valid, idx_a, N)  # N = drop bucket
     seg_b = jnp.where(valid, idx_b, N)
     return accumulate_bond_deltas(dv_a, dq_a, dv_b, dq_b, seg_a, seg_b, N)
 
 
 def apply_adhesion(
-    state: SimState, params: SimParams, genome: GenomeDevice, dt=None
+    state: SimState, params: SimParams, genome: GenomeDevice, dt=None,
+    plan: BondPlan | None = None,
 ) -> SimState:
     """K10 + K11: compute per-bond deltas and apply them
     (compute:586-607)."""
-    dv, dq = bond_deltas(state, params, genome, dt=dt)
+    dv, dq = bond_deltas(state, params, genome, dt=dt, plan=plan)
     alive = (jnp.arange(state.capacity) < state.active_count)[:, None]
     vel = jnp.where(alive, state.vel + dv, state.vel)
     rot = jnp.where(alive, quat.normalize(state.rot + dq), state.rot)

@@ -165,3 +165,105 @@ def test_inactive_bond_no_effect():
     dv, dq = bond_deltas(st, params, genome.to_device())
     np.testing.assert_allclose(dv, 0.0)
     np.testing.assert_allclose(dq, 0.0)
+
+
+# --- Planned (settled-window) accumulation ------------------------------
+
+def test_planned_accumulate_matches_segment_sum():
+    """accumulate_bond_deltas_planned == accumulate_bond_deltas on random
+    rows/topologies, including a stale-validity plan (bonds deactivated
+    AFTER the plan was built contribute zeros through the deltas' validity
+    gating, so bond_deltas(plan=stale) must still be exact)."""
+    import jax
+
+    from sph_tpu.core.types import BondTable
+    from sph_tpu.physics.adhesion import (
+        accumulate_bond_deltas,
+        accumulate_bond_deltas_planned,
+        build_bond_plan,
+    )
+
+    rng = np.random.default_rng(7)
+    N, B = 300, 1024
+    slot_a = rng.integers(-1, N, B).astype(np.int32)
+    slot_b = rng.integers(0, N, B).astype(np.int32)
+    active = rng.random(B) < 0.8
+    bonds = BondTable.empty(B)
+    bonds = bonds.replace_fields(
+        active=jnp.asarray(active), slot_a=jnp.asarray(slot_a),
+        slot_b=jnp.asarray(slot_b),
+    )
+    plan = jax.jit(lambda bb: build_bond_plan(bb, N))(bonds)
+
+    valid = active & (slot_a >= 0) & (slot_b >= 0)
+    mk = lambda w: jnp.asarray(  # noqa: E731
+        np.where(valid[:, None],
+                 rng.normal(size=(B, w)).astype(np.float32), 0.0))
+    dv_a, dq_a, dv_b, dq_b = mk(3), mk(4), mk(3), mk(4)
+    seg_a = jnp.asarray(np.where(valid, np.clip(slot_a, 0, N - 1), N))
+    seg_b = jnp.asarray(np.where(valid, np.clip(slot_b, 0, N - 1), N))
+    want_v, want_q = accumulate_bond_deltas(
+        dv_a, dq_a, dv_b, dq_b, seg_a, seg_b, N)
+    got_v, got_q = jax.jit(
+        lambda *r: accumulate_bond_deltas_planned(*r, plan)
+    )(dv_a, dq_a, dv_b, dq_b)
+    np.testing.assert_allclose(got_v, want_v, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(got_q, want_q, rtol=2e-5, atol=1e-6)
+
+    # Stale plan: prune some bonds after building; their rows must now be
+    # zero (the engine's validity gating) and the sums must match a fresh
+    # segment_sum of the pruned table.
+    keep = rng.random(B) < 0.6
+    valid2 = valid & keep
+    z = lambda a: jnp.where(jnp.asarray(valid2)[:, None], a, 0.0)  # noqa: E731
+    seg_a2 = jnp.asarray(np.where(valid2, np.clip(slot_a, 0, N - 1), N))
+    seg_b2 = jnp.asarray(np.where(valid2, np.clip(slot_b, 0, N - 1), N))
+    want_v2, want_q2 = accumulate_bond_deltas(
+        z(dv_a), z(dq_a), z(dv_b), z(dq_b), seg_a2, seg_b2, N)
+    got_v2, got_q2 = jax.jit(
+        lambda *r: accumulate_bond_deltas_planned(*r, plan)
+    )(z(dv_a), z(dq_a), z(dv_b), z(dq_b))
+    np.testing.assert_allclose(got_v2, want_v2, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(got_q2, want_q2, rtol=2e-5, atol=1e-6)
+
+
+def test_planned_run_steps_matches_plain_through_division():
+    """run_steps with adhesion_plan='on' (plan carried in the scan,
+    rebuilt after division steps) matches the plain path through a window
+    with real splits firing — topology exact, floats allclose (the scan
+    reassociates each particle's sum)."""
+    import dataclasses
+
+    import jax
+
+    from sph_tpu import Simulation
+    from sph_tpu.engine.colony import bonded_colony
+    from sph_tpu.engine.step import run_steps, use_bond_plan
+
+    state, params, genome = bonded_colony(
+        256, neighbor_mode="dense", dense_k=2, max_splits_per_step=32)
+    sim = Simulation(genome, params, auto_grow=False, donate=False)
+    sim.state = state
+    sim.resize(320)
+    pp, gd = sim.params, sim.genome_dev
+    timer = sim.state.split_timer.at[:16].set(
+        jnp.float32(float(gd.split_interval[0]) - 3 * pp.dt))
+    st = sim.state.replace_fields(split_timer=timer)
+
+    p_on = dataclasses.replace(pp, adhesion_plan="on")
+    p_off = dataclasses.replace(pp, adhesion_plan="off")
+    assert use_bond_plan(p_on, st) and not use_bond_plan(p_off, st)
+    a = jax.jit(lambda s: run_steps(s, p_off, gd, 10))(st)
+    b = jax.jit(lambda s: run_steps(s, p_on, gd, 10))(st)
+    assert int(a.active_count) == 256 + 16 == int(b.active_count)
+    na = int(a.active_count)
+    for f in ("pos", "vel", "ang_vel", "rot"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, f))[:na], np.asarray(getattr(b, f))[:na],
+            rtol=1e-4, atol=1e-4, err_msg=f)
+    for f in ("active", "slot_a", "slot_b", "zone_a", "zone_b",
+              "created_step"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a.bonds, f)), np.asarray(getattr(b.bonds, f)),
+            err_msg=f"bonds.{f}")
+    np.testing.assert_array_equal(np.asarray(a.uid), np.asarray(b.uid))

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from sph_tpu.engine.colony import bonded_colony
-from sph_tpu.engine.step import step as full_step
+from sph_tpu.engine.step import run_steps
 from sph_tpu.physics.contact_dense import make_contact_spec
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
@@ -26,8 +26,7 @@ print(f"n={N} bonds={int(jnp.sum(state.bonds.active))} "
       f"spec={spec.shape()} slots={spec.slots} "
       f"({spec.slots * 4 * 10 / 2**30:.2f} GiB fields)", flush=True)
 
-f = jax.jit(lambda x: jax.lax.scan(
-    lambda c, _: (full_step(c, params, gd), None), x, None, length=SUB)[0])
+f = jax.jit(lambda x: run_steps(x, params, gd, SUB))
 st = f(state)
 _ = float(jnp.sum(st.pos[0]))
 print("compiled + warm", flush=True)
