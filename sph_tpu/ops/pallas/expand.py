@@ -1,0 +1,157 @@
+"""Pallas expand kernel: the contact pack's scatter as streaming matmuls.
+
+The pack's final step writes N sorted particle rows into their dense slots
+(planar [Z, Y, X·K] fields). As an XLA scatter that is a random-RMW per
+element and costs ~72 ms at a 1M colony — 6× the whole sweep
+(tools/probe_pack.py; unique/sorted flags don't help, the lowering is the
+whale). But this scatter is an ascending-unique EXPAND: row targets
+`flat = cid·K + rank` are sorted, so the rows landing in any tile of T
+output slots are one CONTIGUOUS run of the sorted input. Each kernel
+instance therefore:
+
+  1. DMAs the (block-aligned) input window that covers its run — W rows,
+     sized to ~3× the mean rows-per-tile, NOT to T: colony occupancy is
+     ~0.15 rows/slot, and the window length is what the matmul pays for;
+  2. builds a one-hot [W, T] from the in-window targets;
+  3. places rows with dot_general(win[W,16], onehot) → [16, T] on the MXU.
+
+Bit-exactness: the one-hot matmul is computed as three bf16 dots on the
+exact 3-way bf16 split of the f32 rows (b0+b1+b2 == x exactly; each
+product is b_i·1.0 or b_i·0.0, both exact; the f32 accumulation adds one
+nonzero per output, so every slot reproduces its row bit-for-bit and the
+planar result equals the XLA scatter's exactly — asserted by
+tests/test_expand.py and bench --verify).
+
+Windows are located with ONE searchsorted over `flat_mono` (the
+monotone envelope of flat: drop rows inherit their cell's last real
+target — lax.cummax of the real targets, exact because rank orders real
+rows before drops within a cell run). A tile whose run exceeds W (only
+possible under heavy cell overflow) is detected OUTSIDE the kernel and
+the caller falls back to the XLA scatter for that step (lax.cond), so
+pathological states stay correct, just slower.
+"""
+
+from __future__ import annotations
+
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_OUT = 512      # output slots per kernel instance
+W_IN = 256       # input window rows (≥ max rows landing in one tile)
+NF = 16          # padded field lanes: 11 data + flat-bits + 4 zero
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _split3(x):
+    """Exact 3-way bf16 split: b0 + b1 + b2 == x (f32, normal range)."""
+    b0 = x.astype(jnp.bfloat16)
+    r = x - b0.astype(jnp.float32)
+    b1 = r.astype(jnp.bfloat16)
+    b2 = (r - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return b0, b1, b2
+
+
+def _expand_kernel(q_ref, fills_ref, blk_a, blk_b, out_ref):
+    # The two fetched blocks [2W, NF] cover every row targeting this tile
+    # (s_t ∈ [qW, qW+W) and the run length is ≤ W by the overrun guard);
+    # rows outside the tile simply match no output lane, so no in-kernel
+    # windowing is needed (Mosaic has no dynamic_slice on values anyway —
+    # the cost is 2× the matmul K, not a correctness term).
+    t = pl.program_id(0)
+    win = jnp.concatenate([blk_a[...], blk_b[...]], axis=0)   # [2W, NF]
+
+    flat = jax.lax.bitcast_convert_type(
+        win[:, 11:12], jnp.int32)                             # [2W, 1]
+    tgt = (jax.lax.broadcasted_iota(jnp.int32, (1, T_OUT), 1)
+           + t * T_OUT)
+    onehot = (flat == tgt).astype(jnp.bfloat16)               # [2W, T]
+
+    # Zero the non-data lanes so the flat-bits column can't inject
+    # NaN/Inf into the MXU.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, NF), 1)
+    vals = jnp.where(lane < 11, win, 0.0)
+    b0, b1, b2 = _split3(vals)
+    dn = (((0,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(b0, onehot, dn,
+                              preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(b1, onehot, dn,
+                               preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(b2, onehot, dn,
+                               preferred_element_type=jnp.float32)
+    # acc [NF, T]; occupancy rides the occ column (1.0 per real row, at
+    # most one row per slot) — empty slots take the per-field fill.
+    occ = acc[10:11, :]
+    out_ref[...] = jnp.where(occ > 0.5, acc, fills_ref[...])
+
+
+def window_overrun(flat, fits, slots: int):
+    """True when some T_OUT-slot tile's input run exceeds W_IN rows —
+    only possible under heavy cell overflow (drop rows share their cell's
+    run). The caller must then use the scatter path; expand_rows would
+    silently lose the run's tail."""
+    n_tiles = slots // T_OUT
+    flat_mono = jax.lax.cummax(jnp.where(fits, flat, -1))
+    tile_lo = jnp.arange(n_tiles, dtype=jnp.int32) * T_OUT
+    s = jnp.searchsorted(flat_mono, tile_lo, side="left")
+    e = jnp.searchsorted(flat_mono, tile_lo + T_OUT, side="left")
+    return jnp.max(e - s) > W_IN
+
+
+def expand_rows(sorted_rows, flat, fits, fills, slots: int):
+    """Place sorted rows into dense slots: the bit-exact Pallas twin of
+    the XLA column scatters (contact_dense._scatter_table).
+
+    sorted_rows [N, C≤11] f32 (row order = spatial sort; column 10 MUST be
+    the occupancy column, 1.0 on real rows), flat [N] i32 ascending
+    targets with `slots` for drops, fits [N] bool. Returns (out [C, slots]
+    f32, overrun bool scalar) — overrun=True means some tile's input run
+    exceeded W_IN (heavy cell overflow) and `out` is NOT valid; the caller
+    must fall back to the scatter path."""
+    N, C = sorted_rows.shape
+    assert slots % T_OUT == 0, (slots, T_OUT)
+    n_tiles = slots // T_OUT
+
+    flat_mono = jax.lax.cummax(jnp.where(fits, flat, -1))
+    tile_lo = jnp.arange(n_tiles, dtype=jnp.int32) * T_OUT
+    s = jnp.searchsorted(flat_mono, tile_lo, side="left")
+    e = jnp.searchsorted(flat_mono, tile_lo + T_OUT, side="left")
+    overrun = jnp.max(e - s) > W_IN
+
+    n_blk = -(-N // W_IN) + 2
+    npad = n_blk * W_IN
+    flat_bits = jax.lax.bitcast_convert_type(
+        flat.astype(jnp.int32), jnp.float32)[:, None]
+    rows16 = jnp.concatenate(
+        [sorted_rows, flat_bits,
+         jnp.zeros((N, NF - C - 1), jnp.float32)], axis=1)
+    pad = jnp.zeros((npad - N, NF), jnp.float32)
+    pad = pad.at[:, 11].set(jax.lax.bitcast_convert_type(
+        jnp.int32(slots), jnp.float32))
+    rows16 = jnp.concatenate([rows16, pad], axis=0)
+
+    q = jnp.minimum(s // W_IN, n_blk - 2).astype(jnp.int32)
+
+    fills16 = jnp.asarray(
+        tuple(fills) + (0.0,) * (NF - C), jnp.float32)[:, None]
+    out = pl.pallas_call(
+        _expand_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((NF, 1), lambda t, q: (0, 0)),
+                pl.BlockSpec((W_IN, NF), lambda t, q: (q[t], 0)),
+                pl.BlockSpec((W_IN, NF), lambda t, q: (q[t] + 1, 0)),
+            ],
+            out_specs=pl.BlockSpec((NF, T_OUT), lambda t, q: (0, t)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((NF, slots), jnp.float32),
+        interpret=_interpret(),
+    )(q, fills16, rows16, rows16)
+    return out[:C], overrun

@@ -311,17 +311,41 @@ def _scatter_table(tbl, fills, order, flat, fits, spec: ContactSpec):
     return [scatter(c) for c in range(tbl.shape[1])]
 
 
-def _pack_args(state: SimState, spec: ContactSpec):
-    """In-jit pack: (fields [10][Z,Y,L], occ, slot_of_particle, overflow)."""
+def _pack_args(state: SimState, spec: ContactSpec, expand: bool = False):
+    """In-jit pack: (fields [10][Z,Y,L], occ, slot_of_particle, overflow).
+
+    expand=True places the sorted rows with the Pallas expand kernel
+    (ops/pallas/expand.py — bit-exact twin of the XLA column scatters,
+    ~9× cheaper at a 1M colony where the scatter's random RMW costs
+    ~72 ms); a lax.cond falls back to the scatters when a tile's input
+    run exceeds the kernel window (heavy cell overflow)."""
     N = state.capacity
     order, flat, fits, overflow, slot_of = _sort_particles(state, spec)
     tbl = jnp.concatenate(
         [state.pos, state.vel, state.ang_vel,
          state.radius[:, None], jnp.ones((N, 1), jnp.float32)], axis=1,
     )                                             # [N, 11]
-    px, py, pz, vx, vy, vz, ox, oy, oz, rad, occ = _scatter_table(
-        tbl, FIELD_FILLS + (OCC_FILL,), order, flat, fits, spec
-    )
+    fills = FIELD_FILLS + (OCC_FILL,)
+    if expand and spec.slots % 512 == 0:
+        from sph_tpu.ops.pallas.expand import expand_rows, window_overrun
+
+        sorted_rows = tbl[order]
+
+        def _via_expand(_):
+            out, _ovr = expand_rows(sorted_rows, flat, fits, fills,
+                                    spec.slots)
+            return [out[c].reshape(spec.shape()) for c in range(11)]
+
+        def _via_scatter(_):
+            return _scatter_table(tbl, fills, order, flat, fits, spec)
+
+        arrs = jax.lax.cond(
+            window_overrun(flat, fits, spec.slots),
+            _via_scatter, _via_expand, None,
+        )
+    else:
+        arrs = _scatter_table(tbl, fills, order, flat, fits, spec)
+    px, py, pz, vx, vy, vz, ox, oy, oz, rad, occ = arrs
     fields = (px, py, pz, vx, vy, vz, ox, oy, oz, rad)
     return fields, occ, slot_of, overflow
 
@@ -365,7 +389,9 @@ def contact_forces_dense(state: SimState, params: SimParams,
         spec = make_contact_spec(
             params, k=params.dense_k, cell_factor=params.dense_cell_factor
         )
-    fields, occ, slot_of, overflow = _pack_args(state, spec)
+    fields, occ, slot_of, overflow = _pack_args(
+        state, spec, expand=getattr(params, "use_pallas", False)
+    )
 
     pair = lambda *a: contact_pair_terms(params, *a)  # noqa: E731
     screen = lambda *a: contact_screen(params, *a)  # noqa: E731
