@@ -533,7 +533,9 @@ def make_sharded_contact_forces(params, mesh: Mesh, spec=None,
     )
 
     def f(state):
-        fields, occ, slot_of, overflow = _pack_args(state, spec)
+        fields, occ, slot_of, overflow = _pack_args(
+            state, spec, expand=getattr(params, "use_pallas", False)
+        )
         if pad:
             ext = (pad,) + occ.shape[1:]
             fields = tuple(
@@ -629,7 +631,9 @@ def make_sharded_contact_forces_2d(params, mesh: Mesh, spec=None,
     )
 
     def f(state):
-        fields, occ, slot_of, overflow = _pack_args(state, spec)
+        fields, occ, slot_of, overflow = _pack_args(
+            state, spec, expand=getattr(params, "use_pallas", False)
+        )
 
         def padf(x, fill):
             if pad1:

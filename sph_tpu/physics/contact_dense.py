@@ -239,47 +239,49 @@ def gather_back(comps_flat, slot_of, overflow):
     return ft[:, :3], ft[:, 3:], overflow
 
 
-def _sort_particles(state: SimState, spec: ContactSpec):
-    """Cell id → stable argsort → within-cell rank. Returns (order [N],
-    flat [N] dense-slot index in SORTED order with `spec.slots` the drop
-    bucket, fits [N] bool sorted order, overflow i32, slot_of [N] i32 in
-    PARTICLE order). Shared by _pack_args and the resident window pack
-    (physics/resident.py)."""
-    N = state.capacity
-    K = spec.k
-    slots = spec.slots
-    alive = jnp.arange(N) < state.active_count
+def _cell_ids(state: SimState, spec: ContactSpec):
+    """Per-particle cell id (dead rows get the past-the-end sentinel
+    nz·ny·nx_pad, so `cid < sentinel` ⟺ alive after any reorder).
 
+    Cell coords are clipped into the INTERIOR [1, dim-2]: the margin ring
+    must stay sentinel-only. Out-of-domain particles (e.g. division
+    children placed past the spawn sphere before update_motion's boundary
+    clamp runs, cs:753-754 offset + compute:339-354 clamp ordering) bin
+    into the nearest interior edge cell — the reference precedent is the
+    edge-cell clamp at compute:104. A real particle in a margin plane
+    would break every engine's edge handling differently: the Pallas
+    kernel clamps the dz=±1 block index (plane 0 would partner ITSELF,
+    double-counting same-plane pairs), the XLA twin rolls to the far
+    margin, and the sharded rings wrap to a neighbor's sentinel halo."""
+    N = state.capacity
+    alive = jnp.arange(N) < state.active_count
     org = jnp.asarray(spec.origin, jnp.float32)
     dims = jnp.asarray((spec.nx, spec.ny, spec.nz), jnp.int32)
-    # Clip into the INTERIOR [1, dim-2]: the margin ring must stay
-    # sentinel-only. Out-of-domain particles (e.g. division children placed
-    # past the spawn sphere before update_motion's boundary clamp runs,
-    # cs:753-754 offset + compute:339-354 clamp ordering) bin into the
-    # nearest interior edge cell — the reference precedent is the edge-cell
-    # clamp at compute:104. A real particle in a margin plane would break
-    # every engine's edge handling differently: the Pallas kernel clamps
-    # the dz=±1 block index (plane 0 would partner ITSELF, double-counting
-    # same-plane pairs), the XLA twin rolls to the far margin, and the
-    # sharded rings wrap to a neighbor's sentinel halo.
     cc = jnp.clip(((state.pos - org) / spec.cell).astype(jnp.int32),
                   1, dims - 2)
     ix, iy, iz = cc[:, 0], cc[:, 1], cc[:, 2]
     cid = (iz * spec.ny + iy) * spec.nx_pad + ix
-    cid = jnp.where(alive, cid, jnp.int32(spec.nz * spec.ny * spec.nx_pad))
+    return jnp.where(alive, cid,
+                     jnp.int32(spec.nz * spec.ny * spec.nx_pad))
 
-    order = jnp.argsort(cid)                      # stable: ties by slot
-    cid_s = cid[order]
-    # Rank within the cell run via cummax of run starts — searchsorted's
-    # binary-search gathers measured ~1 ms at 10k; this is ~free.
+
+def _rank_and_slots(cid_s, order, spec: ContactSpec):
+    """Post-sort bookkeeping on the SORTED cell ids: within-cell rank (via
+    cummax of run starts — searchsorted's binary-search gathers measured
+    ~1 ms at 10k; this is ~free), fits mask, counted overflow, flat slot
+    targets (drop bucket = spec.slots), and the particle-order slot_of."""
+    N = cid_s.shape[0]
+    K = spec.k
+    slots = spec.slots
+    alive_s = cid_s < jnp.int32(spec.nz * spec.ny * spec.nx_pad)
     i = jnp.arange(N)
     is_start = jnp.concatenate(
         [jnp.ones(1, bool), cid_s[1:] != cid_s[:-1]]
     )
     starts = jax.lax.cummax(jnp.where(is_start, i, 0))
     rank = i - starts
-    fits = alive[order] & (rank < K)
-    overflow = jnp.sum(alive[order] & ~fits)
+    fits = alive_s & (rank < K)
+    overflow = jnp.sum(alive_s & ~fits)
 
     flat = cid_s * K + rank                       # == (z·ny+y)·L + x·K + m
     flat = jnp.where(fits, flat, slots)
@@ -288,7 +290,59 @@ def _sort_particles(state: SimState, spec: ContactSpec):
     slot_of = jnp.full(N, slots, jnp.int32).at[order].set(
         flat.astype(jnp.int32)
     )
+    return flat, fits, overflow, slot_of
+
+
+def _sort_particles(state: SimState, spec: ContactSpec):
+    """Cell id → stable argsort → within-cell rank. Returns (order [N],
+    flat [N] dense-slot index in SORTED order with `spec.slots` the drop
+    bucket, fits [N] bool sorted order, overflow i32, slot_of [N] i32 in
+    PARTICLE order). Shared by the resident window pack
+    (physics/resident.py); _pack_args uses _sort_with_payload instead."""
+    cid = _cell_ids(state, spec)
+    order = jnp.argsort(cid)                      # stable: ties by slot
+    cid_s = cid[order]
+    flat, fits, overflow, slot_of = _rank_and_slots(cid_s, order, spec)
     return order, flat, fits, overflow, slot_of
+
+
+def _sort_with_payload(state: SimState, spec: ContactSpec):
+    """The pack sort CARRYING the 11 field columns through the sort
+    network: lax.sort moves the 44-byte rows at ~3× the bare-key argsort
+    (6.4 vs 2.1 ms at a 1M colony) where argsort + the wide row gather
+    pays the ~90M-descriptors/s random-gather floor (24 ms) —
+    tools/probe_pack.py. Bitwise identical to tbl[argsort(cid)]: same
+    stable permutation, pure data movement. Returns (cols 11×[N] in
+    SORTED order, flat, fits, overflow, slot_of)."""
+    N = state.capacity
+    cid = _cell_ids(state, spec)
+    out = jax.lax.sort(
+        [cid, jnp.arange(N, dtype=jnp.int32),
+         state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+         state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+         state.ang_vel[:, 0], state.ang_vel[:, 1], state.ang_vel[:, 2],
+         state.radius, jnp.ones(N, jnp.float32)],
+        num_keys=1, is_stable=True,
+    )
+    cid_s, order = out[0], out[1]
+    flat, fits, overflow, slot_of = _rank_and_slots(cid_s, order, spec)
+    return list(out[2:]), flat, fits, overflow, slot_of
+
+
+def _scatter_sorted(cols, fills, flat, fits, spec: ContactSpec):
+    """Column scatters of ALREADY-SORTED columns into planar [Z, Y, L]
+    arrays (the _scatter_table loop without its row gather — the payload
+    sort already produced sorted columns)."""
+    slots = spec.slots
+
+    def scatter(c):
+        fill = fills[c]
+        out = jnp.full(slots + 1, fill, jnp.float32).at[flat].set(
+            jnp.where(fits, cols[c], fill)
+        )
+        return out[:slots].reshape(spec.shape())
+
+    return [scatter(c) for c in range(len(cols))]
 
 
 def _scatter_table(tbl, fills, order, flat, fits, spec: ContactSpec):
@@ -319,32 +373,25 @@ def _pack_args(state: SimState, spec: ContactSpec, expand: bool = False):
     ~9× cheaper at a 1M colony where the scatter's random RMW costs
     ~72 ms); a lax.cond falls back to the scatters when a tile's input
     run exceeds the kernel window (heavy cell overflow)."""
-    N = state.capacity
-    order, flat, fits, overflow, slot_of = _sort_particles(state, spec)
-    tbl = jnp.concatenate(
-        [state.pos, state.vel, state.ang_vel,
-         state.radius[:, None], jnp.ones((N, 1), jnp.float32)], axis=1,
-    )                                             # [N, 11]
+    cols, flat, fits, overflow, slot_of = _sort_with_payload(state, spec)
     fills = FIELD_FILLS + (OCC_FILL,)
     if expand and spec.slots % 512 == 0:
         from sph_tpu.ops.pallas.expand import expand_rows, window_overrun
 
-        sorted_rows = tbl[order]
-
         def _via_expand(_):
-            out, _ovr = expand_rows(sorted_rows, flat, fits, fills,
-                                    spec.slots)
+            out, _ovr = expand_rows(jnp.stack(cols, axis=1), flat, fits,
+                                    fills, spec.slots)
             return [out[c].reshape(spec.shape()) for c in range(11)]
 
         def _via_scatter(_):
-            return _scatter_table(tbl, fills, order, flat, fits, spec)
+            return _scatter_sorted(cols, fills, flat, fits, spec)
 
         arrs = jax.lax.cond(
             window_overrun(flat, fits, spec.slots),
             _via_scatter, _via_expand, None,
         )
     else:
-        arrs = _scatter_table(tbl, fills, order, flat, fits, spec)
+        arrs = _scatter_sorted(cols, fills, flat, fits, spec)
     px, py, pz, vx, vy, vz, ox, oy, oz, rad, occ = arrs
     fields = (px, py, pz, vx, vy, vz, ox, oy, oz, rad)
     return fields, occ, slot_of, overflow

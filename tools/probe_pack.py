@@ -218,3 +218,27 @@ print(f"{'row16 unique':16s}: {scan_of(ph_row16_unique):7.3f} ms/step",
       flush=True)
 print(f"{'col unique':16s}: {scan_of(ph_col_unique):7.3f} ms/step",
       flush=True)
+
+
+def ph_sortpayload(st):
+    """lax.sort carrying the 11 payload columns through the sort network
+    instead of sorting (key, idx) then row-gathering."""
+    Ncap = st.capacity
+    alive = jnp.arange(Ncap) < st.active_count
+    org = jnp.asarray(spec.origin, jnp.float32)
+    dims = jnp.asarray((spec.nx, spec.ny, spec.nz), jnp.int32)
+    cc = jnp.clip(((st.pos - org) / spec.cell).astype(jnp.int32),
+                  1, dims - 2)
+    cid = (cc[:, 2] * spec.ny + cc[:, 1]) * spec.nx_pad + cc[:, 0]
+    cid = jnp.where(alive, cid,
+                    jnp.int32(spec.nz * spec.ny * spec.nx_pad))
+    cols = [st.pos[:, 0], st.pos[:, 1], st.pos[:, 2],
+            st.vel[:, 0], st.vel[:, 1], st.vel[:, 2],
+            st.ang_vel[:, 0], st.ang_vel[:, 1], st.ang_vel[:, 2],
+            st.radius, jnp.ones(Ncap, jnp.float32)]
+    out = jax.lax.sort([cid] + cols, num_keys=1, is_stable=True)
+    return fold(st, [o[None].astype(jnp.float32) for o in out])
+
+
+print(f"{'sort w/ payload':16s}: {scan_of(ph_sortpayload):7.3f} ms/step",
+      flush=True)
