@@ -283,9 +283,34 @@ def _verify_on_chip() -> str:
             np.asarray(tp), np.asarray(tx), rtol=1e-5,
             atol=1e-6 * float(jnp.abs(tx).max()), err_msg="contact torque",
         )
+
+        # --- planned adhesion accumulate vs segment_sum, on chip ---
+        import dataclasses
+
+        from sph_tpu.engine.colony import bonded_colony
+        from sph_tpu.engine.step import run_steps
+
+        bst, bparams, bgen = bonded_colony(
+            4096, neighbor_mode="dense", dense_k=2, use_pallas=True)
+        bgd = bgen.to_device()
+        sa = jax.jit(lambda s: run_steps(
+            s, dataclasses.replace(bparams, adhesion_plan="off"),
+            bgd, 8))(bst)
+        sb = jax.jit(lambda s: run_steps(
+            s, dataclasses.replace(bparams, adhesion_plan="on"),
+            bgd, 8))(bst)
+        nb = int(sa.active_count)
+        np.testing.assert_allclose(
+            np.asarray(sa.vel[:nb]), np.asarray(sb.vel[:nb]),
+            rtol=1e-4, atol=1e-5, err_msg="planned adhesion vel",
+        )
+        np.testing.assert_allclose(
+            np.asarray(sa.rot[:nb]), np.asarray(sb.rot[:nb]),
+            rtol=1e-4, atol=1e-5, err_msg="planned adhesion rot",
+        )
     except AssertionError as e:
         return "FAIL: " + str(e).split("\n")[0][:120]
-    return f"ok ({jax.default_backend()}, incl. contact)"
+    return f"ok ({jax.default_backend()}, incl. contact+plan)"
 
 
 def _bench_4m_multichip():

@@ -57,7 +57,8 @@ def _split3(x):
     return b0, b1, b2
 
 
-def _expand_kernel(q_ref, fills_ref, blk_a, blk_b, out_ref):
+def _expand_kernel(q_ref, fills_ref, blk_a, blk_b, out_ref, *,
+                   t_out: int, w_in: int):
     # The two fetched blocks [2W, NF] cover every row targeting this tile
     # (s_t ∈ [qW, qW+W) and the run length is ≤ W by the overrun guard);
     # rows outside the tile simply match no output lane, so no in-kernel
@@ -68,8 +69,8 @@ def _expand_kernel(q_ref, fills_ref, blk_a, blk_b, out_ref):
 
     flat = jax.lax.bitcast_convert_type(
         win[:, 11:12], jnp.int32)                             # [2W, 1]
-    tgt = (jax.lax.broadcasted_iota(jnp.int32, (1, T_OUT), 1)
-           + t * T_OUT)
+    tgt = (jax.lax.broadcasted_iota(jnp.int32, (1, t_out), 1)
+           + t * t_out)
     onehot = (flat == tgt).astype(jnp.bfloat16)               # [2W, T]
 
     # Zero the non-data lanes so the flat-bits column can't inject
@@ -90,20 +91,22 @@ def _expand_kernel(q_ref, fills_ref, blk_a, blk_b, out_ref):
     out_ref[...] = jnp.where(occ > 0.5, acc, fills_ref[...])
 
 
-def window_overrun(flat, fits, slots: int):
-    """True when some T_OUT-slot tile's input run exceeds W_IN rows —
+def window_overrun(flat, fits, slots: int, t_out: int = T_OUT,
+                   w_in: int = W_IN):
+    """True when some t_out-slot tile's input run exceeds w_in rows —
     only possible under heavy cell overflow (drop rows share their cell's
     run). The caller must then use the scatter path; expand_rows would
     silently lose the run's tail."""
-    n_tiles = slots // T_OUT
+    n_tiles = slots // t_out
     flat_mono = jax.lax.cummax(jnp.where(fits, flat, -1))
-    tile_lo = jnp.arange(n_tiles, dtype=jnp.int32) * T_OUT
+    tile_lo = jnp.arange(n_tiles, dtype=jnp.int32) * t_out
     s = jnp.searchsorted(flat_mono, tile_lo, side="left")
-    e = jnp.searchsorted(flat_mono, tile_lo + T_OUT, side="left")
-    return jnp.max(e - s) > W_IN
+    e = jnp.searchsorted(flat_mono, tile_lo + t_out, side="left")
+    return jnp.max(e - s) > w_in
 
 
-def expand_rows(sorted_rows, flat, fits, fills, slots: int):
+def expand_rows(sorted_rows, flat, fits, fills, slots: int,
+                t_out: int = T_OUT, w_in: int = W_IN):
     """Place sorted rows into dense slots: the bit-exact Pallas twin of
     the XLA column scatters (contact_dense._scatter_table).
 
@@ -114,17 +117,17 @@ def expand_rows(sorted_rows, flat, fits, fills, slots: int):
     exceeded W_IN (heavy cell overflow) and `out` is NOT valid; the caller
     must fall back to the scatter path."""
     N, C = sorted_rows.shape
-    assert slots % T_OUT == 0, (slots, T_OUT)
-    n_tiles = slots // T_OUT
+    assert slots % t_out == 0, (slots, t_out)
+    n_tiles = slots // t_out
 
     flat_mono = jax.lax.cummax(jnp.where(fits, flat, -1))
-    tile_lo = jnp.arange(n_tiles, dtype=jnp.int32) * T_OUT
+    tile_lo = jnp.arange(n_tiles, dtype=jnp.int32) * t_out
     s = jnp.searchsorted(flat_mono, tile_lo, side="left")
-    e = jnp.searchsorted(flat_mono, tile_lo + T_OUT, side="left")
-    overrun = jnp.max(e - s) > W_IN
+    e = jnp.searchsorted(flat_mono, tile_lo + t_out, side="left")
+    overrun = jnp.max(e - s) > w_in
 
-    n_blk = -(-N // W_IN) + 2
-    npad = n_blk * W_IN
+    n_blk = -(-N // w_in) + 2
+    npad = n_blk * w_in
     flat_bits = jax.lax.bitcast_convert_type(
         flat.astype(jnp.int32), jnp.float32)[:, None]
     rows16 = jnp.concatenate(
@@ -135,21 +138,23 @@ def expand_rows(sorted_rows, flat, fits, fills, slots: int):
         jnp.int32(slots), jnp.float32))
     rows16 = jnp.concatenate([rows16, pad], axis=0)
 
-    q = jnp.minimum(s // W_IN, n_blk - 2).astype(jnp.int32)
+    q = jnp.minimum(s // w_in, n_blk - 2).astype(jnp.int32)
 
     fills16 = jnp.asarray(
         tuple(fills) + (0.0,) * (NF - C), jnp.float32)[:, None]
+    import functools
+
     out = pl.pallas_call(
-        _expand_kernel,
+        functools.partial(_expand_kernel, t_out=t_out, w_in=w_in),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((NF, 1), lambda t, q: (0, 0)),
-                pl.BlockSpec((W_IN, NF), lambda t, q: (q[t], 0)),
-                pl.BlockSpec((W_IN, NF), lambda t, q: (q[t] + 1, 0)),
+                pl.BlockSpec((w_in, NF), lambda t, q: (q[t], 0)),
+                pl.BlockSpec((w_in, NF), lambda t, q: (q[t] + 1, 0)),
             ],
-            out_specs=pl.BlockSpec((NF, T_OUT), lambda t, q: (0, t)),
+            out_specs=pl.BlockSpec((NF, t_out), lambda t, q: (0, t)),
         ),
         out_shape=jax.ShapeDtypeStruct((NF, slots), jnp.float32),
         interpret=_interpret(),
