@@ -309,7 +309,11 @@ def _verify_on_chip() -> str:
             rtol=1e-4, atol=1e-5, err_msg="planned adhesion rot",
         )
     except AssertionError as e:
-        return "FAIL: " + str(e).split("\n")[0][:120]
+        # numpy assertion messages START with a newline — taking the first
+        # line verbatim yields "FAIL: " with no diagnosis (observed in
+        # round 3). Keep the first two non-empty lines instead.
+        lines = [ln.strip() for ln in str(e).split("\n") if ln.strip()]
+        return "FAIL: " + (" | ".join(lines[:2])[:200] or repr(e)[:200])
     return f"ok ({jax.default_backend()}, incl. contact+plan)"
 
 

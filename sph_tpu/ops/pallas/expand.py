@@ -57,38 +57,50 @@ def _split3(x):
     return b0, b1, b2
 
 
-def _expand_kernel(q_ref, fills_ref, blk_a, blk_b, out_ref, *,
+def _expand_kernel(q_ref, cnt_ref, fills_ref, blk_a, blk_b, out_ref, *,
                    t_out: int, w_in: int):
-    # The two fetched blocks [2W, NF] cover every row targeting this tile
-    # (s_t ∈ [qW, qW+W) and the run length is ≤ W by the overrun guard);
-    # rows outside the tile simply match no output lane, so no in-kernel
-    # windowing is needed (Mosaic has no dynamic_slice on values anyway —
-    # the cost is 2× the matmul K, not a correctness term).
     t = pl.program_id(0)
-    win = jnp.concatenate([blk_a[...], blk_b[...]], axis=0)   # [2W, NF]
 
-    flat = jax.lax.bitcast_convert_type(
-        win[:, 11:12], jnp.int32)                             # [2W, 1]
-    tgt = (jax.lax.broadcasted_iota(jnp.int32, (1, t_out), 1)
-           + t * t_out)
-    onehot = (flat == tgt).astype(jnp.bfloat16)               # [2W, T]
+    # A settled colony is mostly empty space (~60-90% of t_out-slot tiles
+    # receive zero rows at bonded-colony occupancy), so tiles with an
+    # empty input run skip the three MXU dots and write fills directly —
+    # bit-identical to the matmul path, whose all-zero occ row would
+    # select fills everywhere anyway.
+    @pl.when(cnt_ref[t] == 0)
+    def _empty():
+        out_ref[...] = jnp.broadcast_to(fills_ref[...], (NF, t_out))
 
-    # Zero the non-data lanes so the flat-bits column can't inject
-    # NaN/Inf into the MXU.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, NF), 1)
-    vals = jnp.where(lane < 11, win, 0.0)
-    b0, b1, b2 = _split3(vals)
-    dn = (((0,), (0,)), ((), ()))
-    acc = jax.lax.dot_general(b0, onehot, dn,
-                              preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(b1, onehot, dn,
-                               preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(b2, onehot, dn,
-                               preferred_element_type=jnp.float32)
-    # acc [NF, T]; occupancy rides the occ column (1.0 per real row, at
-    # most one row per slot) — empty slots take the per-field fill.
-    occ = acc[10:11, :]
-    out_ref[...] = jnp.where(occ > 0.5, acc, fills_ref[...])
+    @pl.when(cnt_ref[t] > 0)
+    def _place():
+        # The two fetched blocks [2W, NF] cover every row targeting this
+        # tile (s_t ∈ [qW, qW+W) and the run length is ≤ W by the overrun
+        # guard); rows outside the tile simply match no output lane, so no
+        # in-kernel windowing is needed (Mosaic has no dynamic_slice on
+        # values anyway — the cost is 2× the matmul K, not correctness).
+        win = jnp.concatenate([blk_a[...], blk_b[...]], axis=0)  # [2W, NF]
+
+        flat = jax.lax.bitcast_convert_type(
+            win[:, 11:12], jnp.int32)                            # [2W, 1]
+        tgt = (jax.lax.broadcasted_iota(jnp.int32, (1, t_out), 1)
+               + t * t_out)
+        onehot = (flat == tgt).astype(jnp.bfloat16)              # [2W, T]
+
+        # Zero the non-data lanes so the flat-bits column can't inject
+        # NaN/Inf into the MXU.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, NF), 1)
+        vals = jnp.where(lane < 11, win, 0.0)
+        b0, b1, b2 = _split3(vals)
+        dn = (((0,), (0,)), ((), ()))
+        acc = jax.lax.dot_general(b0, onehot, dn,
+                                  preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(b1, onehot, dn,
+                                   preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(b2, onehot, dn,
+                                   preferred_element_type=jnp.float32)
+        # acc [NF, T]; occupancy rides the occ column (1.0 per real row,
+        # at most one row per slot) — empty slots take the per-field fill.
+        occ = acc[10:11, :]
+        out_ref[...] = jnp.where(occ > 0.5, acc, fills_ref[...])
 
 
 def window_overrun(flat, fits, slots: int, t_out: int = T_OUT,
@@ -139,6 +151,7 @@ def expand_rows(sorted_rows, flat, fits, fills, slots: int,
     rows16 = jnp.concatenate([rows16, pad], axis=0)
 
     q = jnp.minimum(s // w_in, n_blk - 2).astype(jnp.int32)
+    cnt = (e - s).astype(jnp.int32)
 
     fills16 = jnp.asarray(
         tuple(fills) + (0.0,) * (NF - C), jnp.float32)[:, None]
@@ -147,16 +160,16 @@ def expand_rows(sorted_rows, flat, fits, fills, slots: int,
     out = pl.pallas_call(
         functools.partial(_expand_kernel, t_out=t_out, w_in=w_in),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((NF, 1), lambda t, q: (0, 0)),
-                pl.BlockSpec((w_in, NF), lambda t, q: (q[t], 0)),
-                pl.BlockSpec((w_in, NF), lambda t, q: (q[t] + 1, 0)),
+                pl.BlockSpec((NF, 1), lambda t, q, cnt: (0, 0)),
+                pl.BlockSpec((w_in, NF), lambda t, q, cnt: (q[t], 0)),
+                pl.BlockSpec((w_in, NF), lambda t, q, cnt: (q[t] + 1, 0)),
             ],
-            out_specs=pl.BlockSpec((NF, t_out), lambda t, q: (0, t)),
+            out_specs=pl.BlockSpec((NF, t_out), lambda t, q, cnt: (0, t)),
         ),
         out_shape=jax.ShapeDtypeStruct((NF, slots), jnp.float32),
         interpret=_interpret(),
-    )(q, fills16, rows16, rows16)
+    )(q, cnt, fills16, rows16, rows16)
     return out[:C], overrun
