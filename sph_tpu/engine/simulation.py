@@ -54,6 +54,8 @@ class Simulation:
         self.contact_fn = self._make_contact_fn(mesh)
         self.genome_dev = self.genome.to_device()
         self._step_cache: dict[tuple, Callable] = {}
+        self._bond_plan = None
+        self._bond_plan_cap = None
         self.state = init_particles(
             params,
             self.genome_dev,
@@ -118,14 +120,35 @@ class Simulation:
                 from sph_tpu.engine.step import run_steps
 
                 fn = jax.jit(
-                    lambda st, gd: run_steps(
+                    lambda st, gd, plan: run_steps(
                         st, self.params, gd, chunk,
                         contact_fn=self.contact_fn,
+                        bond_plan=plan, return_plan=True,
                     ),
                     donate_argnums=(0,) if self.donate else (),
                 )
             self._step_cache[key] = fn
         return self._step_cache[key]
+
+    def _plan_for_state(self):
+        """Adhesion BondPlan carried across scan chunks (the build costs a
+        2B-row argsort — ~48 ms at a 1M colony — so re-sorting per chunk
+        is real money). Content staleness is safe (the hybrid accumulate
+        detects drifted bonds per step and run_steps rebuilds in-scan);
+        only SHAPE changes (resize) force a fresh build here."""
+        from sph_tpu.engine.step import use_bond_plan
+
+        if not use_bond_plan(self.params, self.state):
+            return None
+        cap = (self.state.capacity, self.state.bonds.capacity)
+        if self._bond_plan is None or self._bond_plan_cap != cap:
+            from sph_tpu.physics.adhesion import build_bond_plan
+
+            self._bond_plan = jax.jit(
+                build_bond_plan, static_argnums=(1,)
+            )(self.state.bonds, self.state.capacity)
+            self._bond_plan_cap = cap
+        return self._bond_plan
 
     def step(self, n: int = 1, dt=None) -> None:
         """Advance n physics steps.
@@ -178,7 +201,12 @@ class Simulation:
                 if (remaining >= self.scan_chunk and safe >= self.scan_chunk)
                 else 1
             )
-            self.state = self._stepper(c)(self.state, self.genome_dev)
+            if c == 1:
+                self.state = self._stepper(c)(self.state, self.genome_dev)
+            else:
+                self.state, self._bond_plan = self._stepper(c)(
+                    self.state, self.genome_dev, self._plan_for_state()
+                )
             remaining -= c
 
     def run(self, n_steps: int, block: bool = True) -> float:

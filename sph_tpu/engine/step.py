@@ -54,12 +54,13 @@ def step(state: SimState, params: SimParams, genome: GenomeDevice,
     and integration stay replicated; results are bitwise equal either way
     (tests/test_dist.py).
 
-    `bond_plan` (optional): a physics.adhesion.BondPlan valid for THIS
-    step's bond topology — the adhesion accumulate then runs scatter-free.
-    The caller owns validity: it must be None on any step where
-    process_pending_splits can apply a split (pending.count > 0 at entry),
-    since division rewrites bond endpoints (run_steps gates on exactly
-    that)."""
+    `bond_plan` (optional): a physics.adhesion.BondPlan — the adhesion
+    accumulate then runs scatter-free through the plan's frozen order.
+    The plan may be STALE: bonds that drifted from its snapshot (division
+    endpoint rewrites, new bonds) are detected per step and accumulated
+    through the compact hybrid side path
+    (adhesion.accumulate_bond_deltas_hybrid), so this is valid on every
+    step including ones that apply splits."""
     # 1-2. Division: apply last step's queued splits, then advance timers and
     #      queue new ones (cs:253 runs before all dispatches).
     state = process_pending_splits(state, params, genome)
@@ -131,44 +132,52 @@ def use_bond_plan(params: SimParams, state: SimState) -> bool:
 
 
 def run_steps(state: SimState, params: SimParams, genome: GenomeDevice,
-              n_steps: int, dts=None, contact_fn=None) -> SimState:
+              n_steps: int, dts=None, contact_fn=None, bond_plan=None,
+              return_plan: bool = False):
     """Roll n physics steps with lax.scan (for benchmarking / headless runs).
 
     dts: optional [n_steps] array of per-step dt values (variable-dt compat,
     cs:246); None = fixed params.dt.
 
     Large bond tables run the planned adhesion accumulate (use_bond_plan):
-    the scan carries a BondPlan, applies it on topology-quiet steps
-    (pending.count == 0 at entry — a split application is the only thing
-    that rewrites bond endpoints), falls back to the plain segment_sum
-    step when splits are pending, and rebuilds the plan right after."""
+    the scan carries a BondPlan and applies it on EVERY step — a stale
+    plan is valid because bonds that drifted from its snapshot accumulate
+    through the hybrid side path (adhesion.accumulate_bond_deltas_hybrid),
+    so division steps no longer pay the full segment_sum. The plan is
+    rebuilt inside the scan only when the drift count nears the side
+    capacity.
+
+    bond_plan / return_plan: callers that step in chunks (Simulation)
+    can carry the plan across calls instead of re-sorting per chunk
+    (the build costs ~48 ms at a 1M colony)."""
     if not use_bond_plan(params, state):
         def body(st, dt):
             return step(st, params, genome, dt=dt,
                         contact_fn=contact_fn), None
 
         state, _ = jax.lax.scan(body, state, dts, length=n_steps)
-        return state
+        return (state, None) if return_plan else state
 
-    from sph_tpu.physics.adhesion import build_bond_plan
+    from sph_tpu.physics.adhesion import (
+        _SIDE_CAP,
+        build_bond_plan,
+        plan_changed_count,
+    )
 
     def body(carry, dt):
         st, plan = carry
-        quiet = st.pending.count == 0
-        st2 = jax.lax.cond(
-            quiet,
-            lambda s: step(s, params, genome, dt=dt, contact_fn=contact_fn,
-                           bond_plan=plan),
-            lambda s: step(s, params, genome, dt=dt,
-                           contact_fn=contact_fn),
-            st,
-        )
+        st2 = step(st, params, genome, dt=dt, contact_fn=contact_fn,
+                   bond_plan=plan)
         plan2 = jax.lax.cond(
-            quiet, lambda _: plan,
-            lambda s: build_bond_plan(s.bonds, s.capacity), st2,
+            plan_changed_count(st2.bonds, plan) > _SIDE_CAP // 2,
+            lambda s: build_bond_plan(s.bonds, s.capacity),
+            lambda s: plan,
+            st2,
         )
         return (st2, plan2), None
 
-    plan0 = build_bond_plan(state.bonds, state.capacity)
-    (state, _), _ = jax.lax.scan(body, (state, plan0), dts, length=n_steps)
-    return state
+    plan0 = (bond_plan if bond_plan is not None
+             else build_bond_plan(state.bonds, state.capacity))
+    (state, plan), _ = jax.lax.scan(body, (state, plan0), dts,
+                                    length=n_steps)
+    return (state, plan) if return_plan else state

@@ -267,3 +267,70 @@ def test_planned_run_steps_matches_plain_through_division():
             np.asarray(getattr(a.bonds, f)), np.asarray(getattr(b.bonds, f)),
             err_msg=f"bonds.{f}")
     np.testing.assert_array_equal(np.asarray(a.uid), np.asarray(b.uid))
+
+
+def test_hybrid_accumulate_stale_plan_with_rewrites():
+    """accumulate_bond_deltas_hybrid == segment_sum on a table whose slot
+    endpoints were REWRITTEN and whose bonds were CREATED after the plan
+    snapshot (the division pattern — a plain stale plan would accumulate
+    rewritten rows into the wrong particles), and the full-segment_sum
+    fallback must engage when the drift exceeds the side capacity."""
+    import jax
+
+    import sph_tpu.physics.adhesion as adh
+    from sph_tpu.core.types import BondTable
+
+    rng = np.random.default_rng(11)
+    N, B = 300, 1024
+    slot_a = rng.integers(0, N, B).astype(np.int32)
+    slot_b = rng.integers(0, N, B).astype(np.int32)
+    active = rng.random(B) < 0.7
+    bonds0 = BondTable.empty(B).replace_fields(
+        active=jnp.asarray(active), slot_a=jnp.asarray(slot_a),
+        slot_b=jnp.asarray(slot_b),
+    )
+    plan = jax.jit(lambda bb: adh.build_bond_plan(bb, N))(bonds0)
+
+    # Post-snapshot topology: rewrite ~50 endpoints, activate ~30 new.
+    slot_a2, slot_b2, active2 = slot_a.copy(), slot_b.copy(), active.copy()
+    rw = rng.choice(B, 50, replace=False)
+    slot_a2[rw] = rng.integers(0, N, 50)
+    newb = rng.choice(np.nonzero(~active)[0], 30, replace=False)
+    active2[newb] = True
+    # and prune some (must be exact through the stale plan, no side needed)
+    active2[rng.choice(np.nonzero(active)[0], 40, replace=False)] = False
+    bonds1 = bonds0.replace_fields(
+        active=jnp.asarray(active2), slot_a=jnp.asarray(slot_a2),
+        slot_b=jnp.asarray(slot_b2),
+    )
+
+    valid = active2 & (slot_a2 >= 0) & (slot_b2 >= 0)
+    mk = lambda w: jnp.asarray(  # noqa: E731
+        np.where(valid[:, None],
+                 rng.normal(size=(B, w)).astype(np.float32), 0.0))
+    dv_a, dq_a, dv_b, dq_b = mk(3), mk(4), mk(3), mk(4)
+    seg_a = jnp.asarray(np.where(valid, np.clip(slot_a2, 0, N - 1), N))
+    seg_b = jnp.asarray(np.where(valid, np.clip(slot_b2, 0, N - 1), N))
+    want_v, want_q = adh.accumulate_bond_deltas(
+        dv_a, dq_a, dv_b, dq_b, seg_a, seg_b, N)
+    got_v, got_q = jax.jit(
+        lambda *r: adh.accumulate_bond_deltas_hybrid(*r, bonds1, N, plan)
+    )(dv_a, dq_a, dv_b, dq_b)
+    np.testing.assert_allclose(got_v, want_v, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(got_q, want_q, rtol=2e-5, atol=1e-6)
+
+    n_drift = int(jax.jit(
+        lambda bb: adh.plan_changed_count(bb, plan))(bonds1))
+    assert 0 < n_drift <= adh._SIDE_CAP
+
+    # Overflow fallback: shrink the side capacity below the drift count.
+    orig = adh._SIDE_CAP
+    try:
+        adh._SIDE_CAP = 16
+        got_v2, got_q2 = jax.jit(
+            lambda *r: adh.accumulate_bond_deltas_hybrid(*r, bonds1, N, plan)
+        )(dv_a, dq_a, dv_b, dq_b)
+    finally:
+        adh._SIDE_CAP = orig
+    np.testing.assert_allclose(got_v2, want_v, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(got_q2, want_q, rtol=2e-5, atol=1e-6)
