@@ -74,6 +74,9 @@ def _split3(x):
     return b0, b1, b2
 
 
+CO = 12          # output field lanes (11 data + 1 pad sublane)
+
+
 def _expand_kernel(q_ref, cnt_ref, fills_ref, blk_a, blk_b, out_ref, *,
                    t_out: int, w_in: int):
     t = pl.program_id(0)
@@ -85,7 +88,7 @@ def _expand_kernel(q_ref, cnt_ref, fills_ref, blk_a, blk_b, out_ref, *,
     # select fills everywhere anyway.
     @pl.when(cnt_ref[t] == 0)
     def _empty():
-        out_ref[...] = jnp.broadcast_to(fills_ref[...], (NF, t_out))
+        out_ref[...] = jnp.broadcast_to(fills_ref[...], (CO, t_out))
 
     @pl.when(cnt_ref[t] > 0)
     def _place():
@@ -97,7 +100,11 @@ def _expand_kernel(q_ref, cnt_ref, fills_ref, blk_a, blk_b, out_ref, *,
         win = jnp.concatenate([blk_a[...], blk_b[...]], axis=0)  # [2W, NF]
 
         # Targets compared as exact small-integer floats (see module
-        # docstring — bitcast denormal lanes get mangled on-chip).
+        # docstring — bitcast denormal lanes get mangled on-chip). The
+        # [2W, T] compare is the kernel's dominant VPU cost; a packed-
+        # bf16 digit compare (2× lane density) was tried in round 4 and
+        # REJECTED: Mosaic on v5e refuses bf16 vector compares ("Target
+        # does not support this comparison").
         tgt = (jax.lax.broadcasted_iota(jnp.int32, (1, t_out), 1)
                + t * t_out)
         tgt_hi = (tgt >> 11).astype(jnp.float32)
@@ -111,13 +118,19 @@ def _expand_kernel(q_ref, cnt_ref, fills_ref, blk_a, blk_b, out_ref, *,
         vals = jnp.where(lane < 11, win, 0.0)
         b0, b1, b2 = _split3(vals)
         dn = (((0,), (0,)), ((), ()))
-        acc = jax.lax.dot_general(b0, onehot, dn,
-                                  preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(b1, onehot, dn,
+        # ONE dot with the three bf16 planes stacked along M: [2W, 3·NF]
+        # costs the same MXU passes as [2W, NF] (M=48 ≤ the 128-wide
+        # systolic tile — three separate dots ran the array at 12.5%
+        # utilization and dominated the pack, 28 ms at a 1M colony).
+        # Summing the three [NF, T] plane blocks afterwards reproduces
+        # dot(b0)+dot(b1)+dot(b2) bit-for-bit: every product is exact and
+        # each slot has at most one nonzero per plane.
+        b = jnp.concatenate([b0, b1, b2], axis=1)             # [2W, 3·NF]
+        acc3 = jax.lax.dot_general(b, onehot, dn,
                                    preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(b2, onehot, dn,
-                                   preferred_element_type=jnp.float32)
-        # acc [NF, T]; occupancy rides the occ column (1.0 per real row,
+        acc = (acc3[:CO] + acc3[NF:NF + CO]
+               + acc3[2 * NF:2 * NF + CO])
+        # acc [CO, T]; occupancy rides the occ column (1.0 per real row,
         # at most one row per slot) — empty slots take the per-field fill.
         occ = acc[10:11, :]
         out_ref[...] = jnp.where(occ > 0.5, acc, fills_ref[...])
@@ -162,21 +175,22 @@ def expand_rows(sorted_rows, flat, fits, fills, slots: int,
     n_blk = -(-N // w_in) + 2
     npad = n_blk * w_in
     flat_i = flat.astype(jnp.int32)
-    hi = (flat_i >> 11).astype(jnp.float32)[:, None]
-    lo = (flat_i & 2047).astype(jnp.float32)[:, None]
+    parts = [(flat_i >> 11).astype(jnp.float32)[:, None],
+             (flat_i & 2047).astype(jnp.float32)[:, None]]
+    pad_tgts = [float(slots >> 11), float(slots & 2047)]
     rows16 = jnp.concatenate(
-        [sorted_rows, hi, lo,
-         jnp.zeros((N, NF - C - 2), jnp.float32)], axis=1)
+        [sorted_rows, *parts,
+         jnp.zeros((N, NF - C - len(parts)), jnp.float32)], axis=1)
     pad = jnp.zeros((npad - N, NF), jnp.float32)
-    pad = pad.at[:, 11].set(float(slots >> 11))
-    pad = pad.at[:, 12].set(float(slots & 2047))
+    for j, v in enumerate(pad_tgts):
+        pad = pad.at[:, 11 + j].set(v)
     rows16 = jnp.concatenate([rows16, pad], axis=0)
 
     q = jnp.minimum(s // w_in, n_blk - 2).astype(jnp.int32)
     cnt = (e - s).astype(jnp.int32)
 
     fills16 = jnp.asarray(
-        tuple(fills) + (0.0,) * (NF - C), jnp.float32)[:, None]
+        tuple(fills) + (0.0,) * (CO - C), jnp.float32)[:, None]
 
     out = pl.pallas_call(
         functools.partial(_expand_kernel, t_out=t_out, w_in=w_in),
@@ -184,13 +198,13 @@ def expand_rows(sorted_rows, flat, fits, fills, slots: int,
             num_scalar_prefetch=2,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((NF, 1), lambda t, q, cnt: (0, 0)),
+                pl.BlockSpec((CO, 1), lambda t, q, cnt: (0, 0)),
                 pl.BlockSpec((w_in, NF), lambda t, q, cnt: (q[t], 0)),
                 pl.BlockSpec((w_in, NF), lambda t, q, cnt: (q[t] + 1, 0)),
             ],
-            out_specs=pl.BlockSpec((NF, t_out), lambda t, q, cnt: (0, t)),
+            out_specs=pl.BlockSpec((CO, t_out), lambda t, q, cnt: (0, t)),
         ),
-        out_shape=jax.ShapeDtypeStruct((NF, slots), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((CO, slots), jnp.float32),
         interpret=_interpret(),
     )(q, cnt, fills16, rows16, rows16)
     return out[:C], overrun

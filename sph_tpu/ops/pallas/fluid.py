@@ -69,7 +69,11 @@ def sub_chunk(spec) -> int:
     A multiple of the row length X (so chunk edges are sentinel margin
     columns — mirror-lump rolls wrap safely) and of 128 (full vregs),
     widened toward 1024 lanes (8 vregs): 1-vreg chunk bodies measured
-    ~1.8× slower, and 512 ~15% slower than 1024 with the unrolled sweep."""
+    ~1.8× slower, and 512 ~15% slower than 1024 with the unrolled sweep.
+    (Round 4 tried scaling the target as 8192/K for small-k specs — no
+    measurable effect anywhere: the colony sweep is a separate kernel,
+    ops/pallas/contact.py, and fluid runs at k=8 where the target is
+    already 1024.)"""
     X = spec.X
     base = X * 128 // math.gcd(X, 128)
     nsub = spec.C // base

@@ -209,6 +209,42 @@ def check_planned_adhesion(n: int = 4096) -> None:
     )
 
 
+def check_hybrid_adhesion_division(n: int = 2048) -> None:
+    """The hybrid stale-plan accumulate through a REAL division window
+    (timers armed so splits fire mid-scan; the plan's snapshot goes stale
+    and the changed bonds ride the compact side path) vs the plain
+    segment_sum path — topology bitwise, floats allclose."""
+    from sph_tpu import Simulation
+    from sph_tpu.engine.colony import bonded_colony
+    from sph_tpu.engine.step import run_steps
+
+    bst, bparams, bgen = bonded_colony(
+        n, neighbor_mode="dense", dense_k=2, use_pallas=True,
+        max_splits_per_step=32)
+    sim = Simulation(bgen, bparams, auto_grow=False, donate=False)
+    sim.state = bst
+    sim.resize(n + 64)
+    pp, gd = sim.params, sim.genome_dev
+    st = sim.state.replace_fields(
+        split_timer=sim.state.split_timer.at[:16].set(
+            jnp.float32(float(gd.split_interval[0]) - 3 * pp.dt)))
+    a = jax.jit(lambda s: run_steps(
+        s, dataclasses.replace(pp, adhesion_plan="off"), gd, 8))(st)
+    b = jax.jit(lambda s: run_steps(
+        s, dataclasses.replace(pp, adhesion_plan="on"), gd, 8))(st)
+    assert int(a.active_count) == n + 16 == int(b.active_count), (
+        int(a.active_count), int(b.active_count))
+    na = int(a.active_count)
+    np.testing.assert_allclose(
+        np.asarray(a.vel[:na]), np.asarray(b.vel[:na]),
+        rtol=1e-4, atol=1e-4, err_msg="hybrid adhesion vel (division)",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.bonds.active), np.asarray(b.bonds.active),
+        err_msg="hybrid adhesion bond topology",
+    )
+
+
 # (name, thunk): the full lane. Expand-pack scenes ride three densities —
 # the round-3 repro (sparse blob, 1 overflow), a crushed blob (heavy
 # overflow; exercises the drop-row/envelope path and usually the overrun
@@ -224,6 +260,8 @@ CHECKS = (
      lambda: check_expand_pack(2048, 2, seed=7, spread=14.0)),
     ("contact end-to-end n=400 k=4", check_contact_end2end),
     ("planned adhesion n=4096", check_planned_adhesion),
+    ("hybrid adhesion through division n=2048",
+     check_hybrid_adhesion_division),
 )
 
 
