@@ -456,14 +456,31 @@ def make_sharded_dense_step_2d(params: SPHParams, spec: DenseSpec,
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 
 
+def order_devices_slice_major(devices=None) -> list:
+    """The DCN-seam device-order policy, shared by make_multislice_mesh and
+    make_mesh_2d: stable sort by (slice_index, id). On multi-slice TPU
+    deployments JAX devices expose `slice_index`; sorting slice-major means
+    any contiguous run of mesh coordinates stays inside one slice until the
+    slice is exhausted, so a 1D halo ring crosses DCN exactly once per
+    adjacent slice pair (plus the wraparound hop) and a 2D (pz, py)
+    row-major reshape keeps each py-row intra-slice whenever py divides the
+    per-slice device count — the fast (row-block halo) axis rides ICI and
+    only the slab axis crosses slices. On single-slice or CPU meshes
+    (slice_index absent or None) the sort is a stable no-op (device id
+    order). Asserted in tests/test_dist.py::TestMultisliceOrdering with
+    fabricated multi-slice device stubs."""
+    devices = list(jax.devices() if devices is None else devices)
+    devices.sort(key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id))
+    return devices
+
+
 def make_mesh_2d(shape: tuple[int, int], devices=None,
                  axis_names=("x", "y")) -> Mesh:
     """(pz, py) mesh, slice-major device order (same DCN-seam policy as
     make_multislice_mesh: the slower-varying axis crosses slices)."""
     import numpy as np
 
-    devices = list(jax.devices() if devices is None else devices)
-    devices.sort(key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id))
+    devices = order_devices_slice_major(devices)
     n = shape[0] * shape[1]
     return Mesh(np.array(devices[:n]).reshape(shape), axis_names)
 
@@ -667,11 +684,9 @@ def make_multislice_mesh(devices=None, axis_name: str = "x") -> Mesh:
     On multi-slice TPU deployments, JAX devices expose `slice_index`; on
     single-slice or CPU meshes the sort is a stable no-op (device id order).
     """
-    devices = list(jax.devices() if devices is None else devices)
-    devices.sort(key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id))
     import numpy as np
 
-    return Mesh(np.array(devices), (axis_name,))
+    return Mesh(np.array(order_devices_slice_major(devices)), (axis_name,))
 
 
 def shard_dense_state(d: DenseFluidState, mesh: Mesh) -> DenseFluidState:
