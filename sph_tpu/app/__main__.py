@@ -63,10 +63,18 @@ def cmd_cells(args) -> int:
             dt=args.dt, max_splits_per_step=16,
         )
     sim = Simulation(genome, params, auto_grow=args.auto_grow)
+    watcher = None
+    if args.watch:
+        from sph_tpu.engine.config import watch_scene
+
+        watcher = watch_scene(sim, args.watch)
     os.makedirs(args.out, exist_ok=True)
     frame = 0
     done = 0
     while done < args.steps:
+        if watcher is not None and watcher.poll():
+            print(json.dumps({"event": "genome_reloaded",
+                              "path": args.watch}), flush=True)
         chunk = min(args.render_every or args.steps, args.steps - done)
         sim.run(chunk)
         done += chunk
@@ -105,12 +113,18 @@ def cmd_view(args) -> int:
         )
     sim = Simulation(genome, params, auto_grow=args.auto_grow,
                      scan_chunk=args.substeps)
+    watcher = None
+    if args.watch:
+        from sph_tpu.engine.config import watch_scene
+
+        watcher = watch_scene(sim, args.watch)
     viewer = ViewerLoop(sim, width=args.width, height=args.height,
                         substeps=args.substeps, show_labels=args.labels)
     script = load_script(args.script) if args.script else None
     stats = viewer.run(
         args.frames, script=script,
         out_dir=args.out if args.render else None, tty=args.tty,
+        watcher=watcher,
     )
     if not args.tty:
         print(json.dumps(stats[-1]))
@@ -145,6 +159,9 @@ def main(argv=None) -> int:
                    help="draw PP.UU.C id labels on frames")
     c.add_argument("--out", default="out")
     c.add_argument("--checkpoint", default="")
+    c.add_argument("--watch", default="",
+                   help="scene/genome JSON to live-watch: edits re-init "
+                        "the population (reference OnValidate loop)")
     c.set_defaults(fn=cmd_cells)
 
     v = sub.add_parser(
@@ -167,6 +184,8 @@ def main(argv=None) -> int:
                    help="draw frames in the terminal (ANSI half-blocks)")
     v.add_argument("--labels", action="store_true")
     v.add_argument("--out", default="out")
+    v.add_argument("--watch", default="",
+                   help="scene/genome JSON to live-watch (polled per frame)")
     v.set_defaults(fn=cmd_view)
 
     args = ap.parse_args(argv)

@@ -142,11 +142,16 @@ class ViewerLoop:
         return pil
 
     def run(self, n_frames: int, script=None, out_dir: str | None = None,
-            tty: bool = False):
+            tty: bool = False, watcher=None):
         """Run the loop headless. `script` maps frame index -> event list
-        (dict with int or str keys, or a list indexed by frame)."""
+        (dict with int or str keys, or a list indexed by frame).
+        `watcher` (engine.config.SceneWatcher) is polled once per frame —
+        the reference's editor OnValidate → OnGenomeChanged tick
+        (CellGenome.cs:90-105) at frame granularity."""
         stats = []
         for i in range(n_frames):
+            if watcher is not None:
+                watcher.poll()
             events = []
             if script is not None:
                 if isinstance(script, dict):

@@ -58,6 +58,75 @@ def save_scene(path: str | Path, params: SimParams, genome: Genome) -> None:
     }, indent=2))
 
 
+class SceneWatcher:
+    """Host-side genome live-edit loop — the reference's editor flow
+    `OnValidate → EditorApplication.delayCall → OnGenomeChanged → re-init`
+    (Assets/Scripts/Genome System/CellGenome.cs:90-105,
+    Assets/Scripts/ParticleSystemController.cs:357-367), rebuilt as a
+    polling watcher over a scene/genome JSON file: call `poll()` once per
+    frame (or between run chunks); when the file's (mtime, size) changes,
+    the genome is re-parsed, validated, and `sim.on_genome_changed(genome)`
+    fires — re-initializing the population under the new genome exactly as
+    the reference does.
+
+    Mirrors Unity's debounce semantics: `delayCall` defers the reload to
+    the next editor tick, so edits are only observed at poll granularity;
+    a torn/partial write (invalid JSON mid-save) is skipped and retried on
+    the next poll instead of crashing the app (`on_error` gets the
+    exception; default: print to stderr). Accepts either a full scene JSON
+    ({params, genome}) or a bare genome JSON ({modes: [...]}) — only the
+    genome is hot-reloaded (params changes need a restart, matching the
+    reference where the scene's serialized fields are play-mode frozen).
+    """
+
+    def __init__(self, sim, path: str | Path, on_error=None):
+        self.sim = sim
+        self.path = Path(path)
+        self.on_error = on_error
+        self._stamp = self._stat()
+
+    def _stat(self):
+        try:
+            st = self.path.stat()
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+
+    def _report(self, exc: Exception) -> None:
+        if self.on_error is not None:
+            self.on_error(exc)
+        else:
+            import sys
+
+            print(f"[watch] reload of {self.path} failed: {exc}",
+                  file=sys.stderr, flush=True)
+
+    def poll(self) -> bool:
+        """Check the file; fire on_genome_changed if it changed since the
+        last successful observation. Returns True iff the hook fired."""
+        stamp = self._stat()
+        if stamp is None or stamp == self._stamp:
+            return False
+        try:
+            text = self.path.read_text()
+            data = json.loads(text)
+            gjson = data["genome"] if "genome" in data else data
+            genome = genome_from_json(json.dumps(gjson))
+        except Exception as exc:  # torn write / bad edit: retry next poll
+            self._report(exc)
+            return False
+        self._stamp = stamp
+        self.sim.on_genome_changed(genome)
+        return True
+
+
+def watch_scene(sim, path: str | Path, on_error=None) -> SceneWatcher:
+    """Attach a SceneWatcher to `sim` for the JSON at `path`. The caller
+    drives it by calling `.poll()` periodically (the app CLI's --watch
+    flag does this once per metrics chunk / viewer frame)."""
+    return SceneWatcher(sim, path, on_error=on_error)
+
+
 def reference_genome() -> Genome:
     """The authored NewCellGenome.asset config, field-for-field."""
     return Genome((

@@ -86,6 +86,55 @@ def test_genome_hot_reload_reinitializes():
     assert int(sim.state.step_count) == 0
 
 
+def test_scene_watcher_fires_on_genome_changed(tmp_path):
+    """watch_scene closes the reference's live-edit loop (OnValidate →
+    delayCall → OnGenomeChanged, CellGenome.cs:90-105, cs:357-367): an
+    edit to the watched JSON re-inits the population on the next poll;
+    torn writes are skipped and retried, unchanged files never fire."""
+    import dataclasses
+    import json
+    import os
+
+    from sph_tpu.engine.config import save_scene, watch_scene
+
+    params = small_params()
+    genome = reference_genome()
+    path = tmp_path / "scene.json"
+    save_scene(path, params, genome)
+
+    sim = Simulation(genome, params)
+    w = watch_scene(sim, path)
+    sim.step(12)
+    assert int(sim.state.active_count) >= 2
+    assert w.poll() is False          # unchanged file: no fire
+    assert int(sim.state.active_count) >= 2
+
+    # Edit: change split_interval (an OnValidate-style genome tweak).
+    g2 = dataclasses.replace(genome.modes[0], split_interval=9.0)
+    save_scene(path, params, type(genome)((g2,)))
+    os.utime(path, ns=(1, 1))         # force a distinct stamp
+    assert w.poll() is True
+    assert int(sim.state.active_count) == 1   # full re-init (cs:357-367)
+    assert int(sim.state.step_count) == 0
+    assert float(sim.genome.modes[0].split_interval) == 9.0
+
+    # Torn write: invalid JSON is reported, skipped, and retried.
+    errs = []
+    w.on_error = errs.append
+    path.write_text('{"genome": {"modes": [{')
+    os.utime(path, ns=(2, 2))
+    assert w.poll() is False
+    assert len(errs) == 1
+    # The fixed file (bare-genome form) fires on the next poll.
+    path.write_text(json.dumps(
+        {"modes": [dataclasses.asdict(
+            dataclasses.replace(genome.modes[0], split_interval=3.0))]}
+    ))
+    os.utime(path, ns=(3, 3))
+    assert w.poll() is True
+    assert float(sim.genome.modes[0].split_interval) == 3.0
+
+
 def test_resize_preserves_state():
     sim = Simulation(reference_genome(), small_params())
     sim.step(12)
