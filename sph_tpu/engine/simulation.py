@@ -339,36 +339,49 @@ class Simulation:
         colors for each half-segment (with the reference's A/B color swap,
         CAM:275-276), and world-space anchor endpoints for the white
         anchor-to-anchor line."""
-        from sph_tpu.core import quat
-
         st = self.state
         b = st.bonds
+        # ONE host fetch per column, then pure-numpy vector math. Indexing
+        # a live device array per bond (`int(b.slot_a[i])`) is a device op
+        # PER ELEMENT — through the axon relay (~27-30 ms/dispatch,
+        # CLAUDE.md) a 16k-bond colony took HOURS per frame; this is the
+        # round-5 demo-hang fix.
         active = np.asarray(b.active)
-        out = []
+        idx = np.nonzero(active)[0]
+        if idx.size == 0:
+            return []
+        pos = np.asarray(st.pos)
+        rot = np.asarray(st.rot)
+        slot_a = np.asarray(b.slot_a)[idx]
+        slot_b = np.asarray(b.slot_b)[idx]
+        zone_a = np.asarray(b.zone_a)[idx]
+        zone_b = np.asarray(b.zone_b)[idx]
+        aa = np.asarray(b.anchor_a)[idx]
+        ab = np.asarray(b.anchor_b)[idx]
+        c2c = np.asarray(b.child_to_child)[idx]
+
+        def rot_np(q, v):
+            # numpy twin of core.quat.rotate (compute:373-377)
+            u, w = q[:, :3], q[:, 3:4]
+            return v + 2.0 * np.cross(u, np.cross(u, v) + w * v)
+
+        pa = pos[slot_a]
+        pb = pos[slot_b]
+        anchor_a = pa + rot_np(rot[slot_a], aa)
+        anchor_b = pb + rot_np(rot[slot_b], ab)
+        mid = (pa + pb) * 0.5
         # Reference inspector defaults: zoneA green, zoneB blue, zoneC red —
         # with the swap, ZoneB renders green and ZoneA blue (CAM:275).
         zone_color = {1: (0, 1, 0), 0: (0, 0, 1), 2: (1, 0, 0)}
-        pos = np.asarray(st.pos)
-        rot = np.asarray(st.rot)
-        for i in np.nonzero(active)[0]:
-            ia, ib = int(b.slot_a[i]), int(b.slot_b[i])
-            pa, pb = pos[ia], pos[ib]
-            anchor_a = pa + np.asarray(
-                quat.rotate(rot[ia], np.asarray(b.anchor_a[i]))
-            )
-            anchor_b = pb + np.asarray(
-                quat.rotate(rot[ib], np.asarray(b.anchor_b[i]))
-            )
-            out.append({
-                "a": pa.tolist(), "b": pb.tolist(),
-                "midpoint": ((pa + pb) / 2).tolist(),
-                "color_a": zone_color[int(b.zone_a[i])],
-                "color_b": zone_color[int(b.zone_b[i])],
-                "anchor_a": anchor_a.tolist(),
-                "anchor_b": anchor_b.tolist(),
-                "child_to_child": bool(b.child_to_child[i]),
-            })
-        return out
+        return [{
+            "a": pa[j].tolist(), "b": pb[j].tolist(),
+            "midpoint": mid[j].tolist(),
+            "color_a": zone_color[int(zone_a[j])],
+            "color_b": zone_color[int(zone_b[j])],
+            "anchor_a": anchor_a[j].tolist(),
+            "anchor_b": anchor_b[j].tolist(),
+            "child_to_child": bool(c2c[j]),
+        } for j in range(idx.size)]
 
     def forward_axes(self) -> np.ndarray:
         """Per-particle +Z body axis in world space — the data behind the

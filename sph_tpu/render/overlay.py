@@ -79,10 +79,19 @@ def draw_overlays(
     h, w = arr.shape[:2]
 
     if bond_lines:
-        for b in bond_lines:
-            pts = np.array([b["a"], b["midpoint"], b["b"], b["anchor_a"],
-                            b["anchor_b"]], np.float32)
-            px, py, vis = _project(pts, camera, w, h)
+        # ONE batched projection of all bonds' 5 points (per-bond _project
+        # calls were ~B numpy dispatches per frame — a 16k-bond colony
+        # spent seconds per frame in projection alone).
+        all_pts = np.array(
+            [[b["a"], b["midpoint"], b["b"], b["anchor_a"], b["anchor_b"]]
+             for b in bond_lines], np.float32
+        ).reshape(-1, 3)
+        apx, apy, avis = _project(all_pts, camera, w, h)
+        apx = apx.reshape(-1, 5)
+        apy = apy.reshape(-1, 5)
+        avis = avis.reshape(-1, 5)
+        for j, b in enumerate(bond_lines):
+            px, py, vis = apx[j], apy[j], avis[j]
             if vis[:3].all():
                 ca = tuple(int(c * 255) for c in b["color_a"])
                 cb = tuple(int(c * 255) for c in b["color_b"])

@@ -56,9 +56,16 @@ def build_script(n_frames: int, w: int, h: int):
 
 
 def main(n_frames: int = 90, n_cells: int = 10_000):
-    print("backend:", jax.default_backend(), flush=True)
+    t_start = time.perf_counter()
+
+    def log(msg):
+        print(f"[demo +{time.perf_counter() - t_start:6.1f}s] {msg}",
+              flush=True)
+
+    log(f"backend: {jax.default_backend()}")
     state, params, genome = bonded_colony(
         n_cells, neighbor_mode="dense", dense_k=2, use_pallas=True)
+    log(f"colony built: {n_cells} cells")
     sim = Simulation(genome, params, auto_grow=False, scan_chunk=4)
     sim.state = state
 
@@ -67,28 +74,52 @@ def main(n_frames: int = 90, n_cells: int = 10_000):
     os.makedirs("demo", exist_ok=True)
 
     # Warm every jit path the script will touch (compile excluded from fps).
+    log("warmup frame 1 (compiles step scan + raster)")
     v.frame([{"type": "mouse_down", "x": w // 2, "y": h // 2}])
+    log("warmup frame 2")
     v.frame([{"type": "mouse_move", "x": w // 2 + 8, "y": h // 2}])
     v.frame([{"type": "mouse_up"}])
     v._frame_times.clear()
+    log("warmup done; running scripted session")
 
     script = build_script(n_frames, w, h)
     t0 = time.perf_counter()
     stats = v.run(n_frames, script=script, out_dir="demo/frames")
     wall = time.perf_counter() - t0
+    log(f"{n_frames} frames in {wall:.1f}s")
 
     fps_e2e = n_frames / wall
-    # Render+readback only (no physics): time the raster path alone.
+    # Render+readback, SAME visual channels as the loop above (bonds on,
+    # labels off) — the apples-to-apples no-physics rate.
     from sph_tpu.render.overlay import render_cells_frame
-    render_cells_frame(sim, camera=v.camera, width=w, height=h)
+    kw = dict(camera=v.camera, width=w, height=h,
+              show_labels=v.show_labels, show_bonds=v.show_bonds)
+    render_cells_frame(sim, **kw)
     t0 = time.perf_counter()
     n_r = 20
     for _ in range(n_r):
-        render_cells_frame(sim, camera=v.camera, width=w, height=h)
+        render_cells_frame(sim, **kw)
     fps_render = n_r / (time.perf_counter() - t0)
+    log(f"render+readback (loop channels): {fps_render:.1f} fps")
+
+    # Pure device raster + image readback (no host overlays): the rate the
+    # on-device impostor channel itself sustains through the relay.
+    import jax.numpy as jnp
+    from sph_tpu.render.impostor import render_spheres
+    colors = jnp.asarray(sim.genome_dev.mode_color[:, :3])[
+        jnp.clip(sim.state.mode, 0, len(sim.genome.modes) - 1)]
+    mask = jnp.arange(sim.state.capacity) < sim.state.active_count
+    raster = jax.jit(lambda pos, rad, rot: render_spheres(
+        pos, rad, rot, colors, v.camera.view_params(), width=w, height=h,
+        mask=mask))
+    np.asarray(raster(sim.state.pos, sim.state.radius, sim.state.rot))
+    t0 = time.perf_counter()
+    for _ in range(n_r):
+        np.asarray(raster(sim.state.pos, sim.state.radius, sim.state.rot))
+    fps_raster = n_r / (time.perf_counter() - t0)
+    log(f"device raster + readback only: {fps_raster:.1f} fps")
 
     # Sim-only steps/s at this population (one scan chunk per dispatch).
-    import jax.numpy as jnp
     sync = lambda: float(jnp.sum(sim.state.pos[0]))  # noqa: E731
     sim.step(120); sync()
     t0 = time.perf_counter()
@@ -102,6 +133,7 @@ def main(n_frames: int = 90, n_cells: int = 10_000):
         "substeps_per_frame": v.substeps,
         "fps_end_to_end": round(fps_e2e, 1),
         "fps_render_readback_only": round(fps_render, 1),
+        "fps_device_raster_readback": round(fps_raster, 1),
         "sim_only_steps_per_sec": round(sps, 1),
         "physics_steps_per_sec_e2e": round(fps_e2e * v.substeps, 1),
         "backend": jax.default_backend(),
