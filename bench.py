@@ -358,6 +358,19 @@ def main():
         detail["phase_breakdown_256k"] = step_breakdown(
             pack(st, prm, spc), prm, spc
         )
+        # North-star rung at its exact settings (CONFIGS[3]: obstacle,
+        # cf=1.38) so the roofline columns are validated at 1M too, not
+        # just 256k (VERDICT r4 next #9).
+        st1, prm1 = dam_break_3d(
+            n_target=1_000_000,
+            obstacles=(("cylinder_z", (1.2, 0.15), 0.12),),
+        )
+        prm1 = prm1.replace(cell_factor=1.38, dense_k=8, rebin_every=6,
+                            use_pallas=True)
+        spc1 = make_dense_spec(prm1, k=8, cell_factor=1.38)
+        detail["phase_breakdown_1m"] = step_breakdown(
+            pack(st1, prm1, spc1), prm1, spc1
+        )
 
     out = {
         "metric": f"particle-steps/sec ({head_name}, 1 chip)",

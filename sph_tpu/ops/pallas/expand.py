@@ -78,7 +78,7 @@ CO = 12          # output field lanes (11 data + 1 pad sublane)
 
 
 def _expand_kernel(q_ref, cnt_ref, fills_ref, blk_a, blk_b, out_ref, *,
-                   t_out: int, w_in: int):
+                   t_out: int, w_in: int, single_lane: bool):
     t = pl.program_id(0)
 
     # A settled colony is mostly empty space (~60-90% of t_out-slot tiles
@@ -107,10 +107,18 @@ def _expand_kernel(q_ref, cnt_ref, fills_ref, blk_a, blk_b, out_ref, *,
         # does not support this comparison").
         tgt = (jax.lax.broadcasted_iota(jnp.int32, (1, t_out), 1)
                + t * t_out)
-        tgt_hi = (tgt >> 11).astype(jnp.float32)
-        tgt_lo = (tgt & 2047).astype(jnp.float32)
-        onehot = ((win[:, 11:12] == tgt_hi)
-                  & (win[:, 12:13] == tgt_lo)).astype(jnp.bfloat16)
+        if single_lane:
+            # slots < 2^24: every target is EXACT as a plain f32 VALUE
+            # (this is a value conversion, not a bitcast — the round-3
+            # denormal mangling does not apply), so one compare replaces
+            # the hi/lo pair and halves the kernel's dominant VPU cost.
+            onehot = (win[:, 11:12] == tgt.astype(jnp.float32)
+                      ).astype(jnp.bfloat16)
+        else:
+            tgt_hi = (tgt >> 11).astype(jnp.float32)
+            tgt_lo = (tgt & 2047).astype(jnp.float32)
+            onehot = ((win[:, 11:12] == tgt_hi)
+                      & (win[:, 12:13] == tgt_lo)).astype(jnp.bfloat16)
 
         # Zero the non-data lanes so the target columns can't leak into
         # the MXU accumulation.
@@ -136,48 +144,108 @@ def _expand_kernel(q_ref, cnt_ref, fills_ref, blk_a, blk_b, out_ref, *,
         out_ref[...] = jnp.where(occ > 0.5, acc, fills_ref[...])
 
 
+def tile_windows(env_flat, slots: int, t_out: int = T_OUT,
+                 w_in: int = W_IN):
+    """Per-tile input windows from the per-row tile assignment `env_flat`
+    (i32 [N], SORTED row order): each row's value must lie inside its
+    tile's slot range — real rows use their target `flat`, drop rows
+    their CELL's first slot cid·K (same tile: t_out % K == 0 keeps a
+    cell's K slots inside one tile, and a cell's rows — fits then drops —
+    are consecutive in the sort), dead rows use `slots` (shadow bin).
+    contact_dense._rank_and_slots produces exactly this array.
+
+    Returns (q [n_tiles] input-block index, cnt [n_tiles] span length
+    INCLUDING interleaved drop rows, overrun bool). Computed as one
+    bincount scatter-add into the on-chip tile histogram + a cumsum:
+    the previous formulation (lax.cummax envelope + two searchsorteds
+    over all N rows) cost ~9 ms at a 1M colony AND ran twice — once in
+    window_overrun, once in expand_rows (~18 ms of the 55 ms pack,
+    round-5 pieces probe); this is ~1 ms, computed once, shared.
+
+    Exactness: cell c's rows occupy consecutive sorted positions, so
+    counts[t] = Σ rows of cells in tile t = the exact position-span the
+    kernel window must cover, and s[t] = Σ counts[<t] = the span start —
+    identical to the envelope+searchsorted values for every real row,
+    and TIGHTER for trailing dead rows (the envelope lumped them into
+    the last occupied tile's span; they carry no target either way).
+    The kernel guarantee is unchanged: cnt ≤ w_in ⇒ the span [s, s+cnt)
+    ⊆ [q·w_in, q·w_in + 2·w_in) with q = s // w_in."""
+    n_tiles = slots // t_out
+    N = env_flat.shape[0]
+    tile_of = jnp.minimum(env_flat // t_out, n_tiles).astype(jnp.int32)
+    counts = jnp.zeros(n_tiles + 1, jnp.int32).at[tile_of].add(
+        jnp.ones(N, jnp.int32), mode="drop"
+    )[:n_tiles]
+    e = jnp.cumsum(counts)
+    s = e - counts
+    overrun = jnp.max(counts) > w_in
+    n_blk_cap = -(-N // w_in)                     # q clamp, as before
+    q = jnp.minimum(s // w_in, n_blk_cap).astype(jnp.int32)
+    return q, counts, overrun
+
+
+def _env_from_flat(flat, fits, slots: int):
+    """Back-compat envelope when the caller has no cell-id array: the
+    monotone envelope (cummax of real targets) assigns every drop/dead
+    row the last real target before it — same tile binning as
+    _rank_and_slots' env_flat for drops, and the last occupied tile for
+    the dead tail (a harmless, slightly wider final window). Costs a
+    cummax over N — fine for tests/small states; hot callers pass
+    env_flat via `windows=` instead."""
+    mono = jax.lax.cummax(jnp.where(fits, flat, -1))
+    return jnp.where(mono < 0, jnp.int32(slots), mono)
+
+
 def window_overrun(flat, fits, slots: int, t_out: int = T_OUT,
                    w_in: int = W_IN):
-    """True when some t_out-slot tile's input run exceeds w_in rows —
+    """True when some t_out-slot tile's input span exceeds w_in rows —
     only possible under heavy cell overflow (drop rows share their cell's
-    run). The caller must then use the scatter path; expand_rows would
-    silently lose the run's tail."""
-    n_tiles = slots // t_out
-    flat_mono = jax.lax.cummax(jnp.where(fits, flat, -1))
-    tile_lo = jnp.arange(n_tiles, dtype=jnp.int32) * t_out
-    s = jnp.searchsorted(flat_mono, tile_lo, side="left")
-    e = jnp.searchsorted(flat_mono, tile_lo + t_out, side="left")
-    return jnp.max(e - s) > w_in
+    span). The caller must then use the scatter path; expand_rows would
+    silently lose the span's tail."""
+    return tile_windows(_env_from_flat(flat, fits, slots),
+                        slots, t_out, w_in)[2]
 
 
 def expand_rows(sorted_rows, flat, fits, fills, slots: int,
-                t_out: int = T_OUT, w_in: int = W_IN):
+                t_out: int = T_OUT, w_in: int = W_IN,
+                single_lane: bool | None = None, windows=None):
     """Place sorted rows into dense slots: the bit-exact Pallas twin of
     the XLA column scatters (contact_dense._scatter_table).
 
     sorted_rows [N, C=11] f32 (row order = spatial sort; column 10 MUST be
     the occupancy column, 1.0 on real rows), flat [N] i32 ascending
     targets with `slots` for drops, fits [N] bool. Returns (out [C, slots]
-    f32, overrun bool scalar) — overrun=True means some tile's input run
+    f32, overrun bool scalar) — overrun=True means some tile's input span
     exceeded W_IN (heavy cell overflow) and `out` is NOT valid; the caller
-    must fall back to the scatter path."""
+    must fall back to the scatter path.
+
+    windows: optional precomputed (q, cnt, overrun) from tile_windows —
+    hot callers (contact_dense._pack_args) compute it once from the pack
+    sort's env_flat and share it between the overrun guard and this call
+    (the internal recomputation was ~9 ms of the 1M-colony pack)."""
     N, C = sorted_rows.shape
     assert C == 11, C  # target lanes are pinned at 11/12
     assert slots % t_out == 0, (slots, t_out)
-    n_tiles = slots // t_out
 
-    flat_mono = jax.lax.cummax(jnp.where(fits, flat, -1))
-    tile_lo = jnp.arange(n_tiles, dtype=jnp.int32) * t_out
-    s = jnp.searchsorted(flat_mono, tile_lo, side="left")
-    e = jnp.searchsorted(flat_mono, tile_lo + t_out, side="left")
-    overrun = jnp.max(e - s) > w_in
+    if windows is None:
+        windows = tile_windows(_env_from_flat(flat, fits, slots),
+                               slots, t_out, w_in)
+    q, cnt, overrun = windows
 
     n_blk = -(-N // w_in) + 2
     npad = n_blk * w_in
     flat_i = flat.astype(jnp.int32)
-    parts = [(flat_i >> 11).astype(jnp.float32)[:, None],
-             (flat_i & 2047).astype(jnp.float32)[:, None]]
-    pad_tgts = [float(slots >> 11), float(slots & 2047)]
+    if single_lane is None:           # auto: exact as an f32 value?
+        single_lane = slots < (1 << 24)
+    assert not single_lane or slots < (1 << 24), slots
+    if single_lane:
+        parts = [flat_i.astype(jnp.float32)[:, None],
+                 jnp.zeros((N, 1), jnp.float32)]
+        pad_tgts = [float(slots), 0.0]
+    else:
+        parts = [(flat_i >> 11).astype(jnp.float32)[:, None],
+                 (flat_i & 2047).astype(jnp.float32)[:, None]]
+        pad_tgts = [float(slots >> 11), float(slots & 2047)]
     rows16 = jnp.concatenate(
         [sorted_rows, *parts,
          jnp.zeros((N, NF - C - len(parts)), jnp.float32)], axis=1)
@@ -186,17 +254,17 @@ def expand_rows(sorted_rows, flat, fits, fills, slots: int,
         pad = pad.at[:, 11 + j].set(v)
     rows16 = jnp.concatenate([rows16, pad], axis=0)
 
-    q = jnp.minimum(s // w_in, n_blk - 2).astype(jnp.int32)
-    cnt = (e - s).astype(jnp.int32)
-
+    # q from tile_windows is clamped to ceil(N/w_in) == n_blk - 2, so the
+    # two fetched blocks q, q+1 always exist in the padded row array.
     fills16 = jnp.asarray(
         tuple(fills) + (0.0,) * (CO - C), jnp.float32)[:, None]
 
     out = pl.pallas_call(
-        functools.partial(_expand_kernel, t_out=t_out, w_in=w_in),
+        functools.partial(_expand_kernel, t_out=t_out, w_in=w_in,
+                          single_lane=single_lane),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(n_tiles,),
+            grid=(slots // t_out,),
             in_specs=[
                 pl.BlockSpec((CO, 1), lambda t, q, cnt: (0, 0)),
                 pl.BlockSpec((w_in, NF), lambda t, q, cnt: (q[t], 0)),

@@ -269,7 +269,11 @@ def _rank_and_slots(cid_s, order, spec: ContactSpec):
     """Post-sort bookkeeping on the SORTED cell ids: within-cell rank (via
     cummax of run starts — searchsorted's binary-search gathers measured
     ~1 ms at 10k; this is ~free), fits mask, counted overflow, flat slot
-    targets (drop bucket = spec.slots), and the particle-order slot_of."""
+    targets (drop bucket = spec.slots), the particle-order slot_of, and
+    env_flat (each row's tile-assignment value for
+    ops.pallas.expand.tile_windows: fits rows their target, drop rows
+    their cell's first slot cid·K — the same tile, since t_out % K == 0 —
+    dead rows the shadow value `slots`)."""
     N = cid_s.shape[0]
     K = spec.k
     slots = spec.slots
@@ -285,12 +289,15 @@ def _rank_and_slots(cid_s, order, spec: ContactSpec):
 
     flat = cid_s * K + rank                       # == (z·ny+y)·L + x·K + m
     flat = jnp.where(fits, flat, slots)
+    env_flat = jnp.where(
+        fits, flat, jnp.where(alive_s, cid_s * K, jnp.int32(slots))
+    ).astype(jnp.int32)
 
     # slot_of_particle: flat dense slot per original index (slots = dropped).
     slot_of = jnp.full(N, slots, jnp.int32).at[order].set(
         flat.astype(jnp.int32)
     )
-    return flat, fits, overflow, slot_of
+    return flat, fits, overflow, slot_of, env_flat
 
 
 def _sort_particles(state: SimState, spec: ContactSpec):
@@ -302,7 +309,8 @@ def _sort_particles(state: SimState, spec: ContactSpec):
     cid = _cell_ids(state, spec)
     order = jnp.argsort(cid)                      # stable: ties by slot
     cid_s = cid[order]
-    flat, fits, overflow, slot_of = _rank_and_slots(cid_s, order, spec)
+    flat, fits, overflow, slot_of, _env = _rank_and_slots(cid_s, order,
+                                                          spec)
     return order, flat, fits, overflow, slot_of
 
 
@@ -313,7 +321,8 @@ def _sort_with_payload(state: SimState, spec: ContactSpec):
     pays the ~90M-descriptors/s random-gather floor (24 ms) —
     tools/probe_pack.py. Bitwise identical to tbl[argsort(cid)]: same
     stable permutation, pure data movement. Returns (cols 11×[N] in
-    SORTED order, flat, fits, overflow, slot_of)."""
+    SORTED order, flat, fits, overflow, slot_of, env_flat — the
+    tile-assignment array for ops.pallas.expand.tile_windows)."""
     N = state.capacity
     cid = _cell_ids(state, spec)
     out = jax.lax.sort(
@@ -325,8 +334,9 @@ def _sort_with_payload(state: SimState, spec: ContactSpec):
         num_keys=1, is_stable=True,
     )
     cid_s, order = out[0], out[1]
-    flat, fits, overflow, slot_of = _rank_and_slots(cid_s, order, spec)
-    return list(out[2:]), flat, fits, overflow, slot_of
+    flat, fits, overflow, slot_of, env = _rank_and_slots(cid_s, order,
+                                                         spec)
+    return list(out[2:]), flat, fits, overflow, slot_of, env
 
 
 def _scatter_sorted(cols, fills, flat, fits, spec: ContactSpec):
@@ -372,23 +382,29 @@ def _pack_args(state: SimState, spec: ContactSpec, expand: bool = False):
     (ops/pallas/expand.py — bit-exact twin of the XLA column scatters,
     ~9× cheaper at a 1M colony where the scatter's random RMW costs
     ~72 ms); a lax.cond falls back to the scatters when a tile's input
-    run exceeds the kernel window (heavy cell overflow)."""
-    cols, flat, fits, overflow, slot_of = _sort_with_payload(state, spec)
+    span exceeds the kernel window (heavy cell overflow). The tile
+    windows (and the overrun guard) are computed ONCE from the sort's
+    env_flat and shared with the kernel — the guard and the kernel each
+    recomputing them (cummax envelope + double searchsorted) cost ~18 ms
+    of the 55 ms pack at a 1M colony (round-5 pieces probe)."""
+    cols, flat, fits, overflow, slot_of, env = _sort_with_payload(state,
+                                                                  spec)
     fills = FIELD_FILLS + (OCC_FILL,)
     if expand and spec.slots % 512 == 0:
-        from sph_tpu.ops.pallas.expand import expand_rows, window_overrun
+        from sph_tpu.ops.pallas.expand import expand_rows, tile_windows
+
+        windows = tile_windows(env, spec.slots)
 
         def _via_expand(_):
             out, _ovr = expand_rows(jnp.stack(cols, axis=1), flat, fits,
-                                    fills, spec.slots)
+                                    fills, spec.slots, windows=windows)
             return [out[c].reshape(spec.shape()) for c in range(11)]
 
         def _via_scatter(_):
             return _scatter_sorted(cols, fills, flat, fits, spec)
 
         arrs = jax.lax.cond(
-            window_overrun(flat, fits, spec.slots),
-            _via_scatter, _via_expand, None,
+            windows[2], _via_scatter, _via_expand, None,
         )
     else:
         arrs = _scatter_sorted(cols, fills, flat, fits, spec)

@@ -139,24 +139,33 @@ def check_expand_pack(n: int, k: int, seed: int = 3,
                              cell_factor=cparams.dense_cell_factor)
     fills = FIELD_FILLS + (OCC_FILL,)
 
+    from sph_tpu.ops.pallas.expand import tile_windows
+
     @jax.jit
     def run(state):
-        cols, flat, fits, overflow, _ = _sort_with_payload(state, spec)
+        cols, flat, fits, overflow, _, env = _sort_with_payload(state, spec)
         sc = _scatter_sorted(cols, fills, flat, fits, spec)
         ex, ovr = expand_rows(jnp.stack(cols, axis=1), flat, fits,
                               fills, spec.slots)
+        # Production path: precomputed env-based windows (the round-5
+        # shared-windows pack) must place identically.
+        win = tile_windows(env, spec.slots)
+        ex2, ovr2 = expand_rows(jnp.stack(cols, axis=1), flat, fits,
+                                fills, spec.slots, windows=win)
         wovr = window_overrun(flat, fits, spec.slots)
-        return jnp.stack([a.reshape(-1) for a in sc]), ex, ovr, wovr
+        return (jnp.stack([a.reshape(-1) for a in sc]), ex, ex2,
+                ovr, ovr2, wovr)
 
-    sc, ex, ovr, wovr = run(cst)
-    assert bool(ovr) == bool(wovr), "overrun guard inconsistent"
+    sc, ex, ex2, ovr, ovr2, wovr = run(cst)
+    assert bool(ovr) == bool(wovr) == bool(ovr2), "overrun guards disagree"
     if bool(wovr):
         return  # guarded: caller falls back to scatter; nothing to check
-    sc, ex = np.asarray(sc), np.asarray(ex)
-    bad = np.nonzero(np.any(sc != ex, axis=0))[0]
-    assert len(bad) == 0, (
-        f"expand pack n={n} k={k} spread={spread}: {len(bad)} slots differ "
-        f"(first {bad[:5].tolist()})")
+    sc, ex, ex2 = np.asarray(sc), np.asarray(ex), np.asarray(ex2)
+    for name, got in (("envelope", ex), ("env-window", ex2)):
+        bad = np.nonzero(np.any(sc != got, axis=0))[0]
+        assert len(bad) == 0, (
+            f"expand pack [{name}] n={n} k={k} spread={spread}: "
+            f"{len(bad)} slots differ (first {bad[:5].tolist()})")
 
 
 def check_contact_end2end(n: int = 400, k: int = 4, seed: int = 3) -> None:

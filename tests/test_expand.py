@@ -51,6 +51,27 @@ def test_expand_bit_exact_vs_scatter():
             np.asarray(want[c]).reshape(-1), err_msg=f"col {c}")
 
 
+def test_expand_hi_lo_lane_path_bit_exact():
+    """The hi/lo split-target path (the >= 2^24-slot encoding) must place
+    identically to the auto single-lane path — forced via the override so
+    it stays covered now that small layouts default to one exact-f32
+    target lane."""
+    state, params, spec = _fixture()
+    N = state.capacity
+    order, flat, fits, overflow, _ = jax.jit(
+        lambda s: _sort_particles(s, spec))(state)
+    tbl = jnp.concatenate(
+        [state.pos, state.vel, state.ang_vel,
+         state.radius[:, None], jnp.ones((N, 1), jnp.float32)], axis=1)
+    fills = FIELD_FILLS + (OCC_FILL,)
+    a, ova = jax.jit(lambda t: expand_rows(
+        t[order], flat, fits, fills, spec.slots, single_lane=True))(tbl)
+    b, ovb = jax.jit(lambda t: expand_rows(
+        t[order], flat, fits, fills, spec.slots, single_lane=False))(tbl)
+    assert not bool(ova) and not bool(ovb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pack_expand_equals_pack_scatter():
     """_pack_args(expand=True) == _pack_args(expand=False) bitwise on a
     real colony (covers the searchsorted windowing + cond plumbing)."""

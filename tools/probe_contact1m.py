@@ -52,7 +52,7 @@ def timed(body, x, rounds=4):
 # Pre-materialize the sorted columns once for downstream phase timings.
 @jax.jit
 def presort(st):
-    cols, flat, fits, overflow, slot_of = _sort_with_payload(st, spec)
+    cols, flat, fits, overflow, slot_of, _env = _sort_with_payload(st, spec)
     return jnp.stack(cols, axis=1), flat, fits, slot_of
 
 
@@ -60,7 +60,7 @@ rows, flat, fits, slot_of = presort(state)
 rows = jax.block_until_ready(rows)
 
 def ph_sort(st):
-    cols, flat, fits, overflow, slot_of = _sort_with_payload(st, spec)
+    cols, flat, fits, overflow, slot_of, _env = _sort_with_payload(st, spec)
     return st.replace_fields(pos=st.pos + 1e-30 * (
         cols[0][:, None] * 0 + flat[:, None].astype(jnp.float32) * 0
         + slot_of[:, None].astype(jnp.float32) * 0))

@@ -55,7 +55,7 @@ def fold(st, arrays):
 
 
 def ph_sort_only(st):
-    cols, flat, fits, ovf, slot_of = _sort_with_payload(st, spec)
+    cols, flat, fits, ovf, slot_of, _env = _sort_with_payload(st, spec)
     return fold(st, cols + [flat, slot_of])
 
 
@@ -66,7 +66,7 @@ def ph_pack_full(st):
 
 def mk_expand(t_out, w_in):
     def ph(st):
-        cols, flat, fits, ovf, slot_of = _sort_with_payload(st, spec)
+        cols, flat, fits, ovf, slot_of, _env = _sort_with_payload(st, spec)
         rows = jnp.stack(cols, axis=1)
         out, ovr = expand_rows(rows, flat, fits, fills, spec.slots,
                                t_out=t_out, w_in=w_in)
@@ -75,16 +75,22 @@ def mk_expand(t_out, w_in):
 
 
 
-for t_out, w_in in [(1024, 512), (2048, 512)]:
+t = scan_of(ph_sort_only, state)
+print(f"sort only               : {t:7.3f} ms", flush=True)
+t = scan_of(ph_pack_full, state)
+print(f"pack full (default tile): {t:7.3f} ms", flush=True)
+
+for t_out, w_in in [(512, 256), (1024, 256), (1024, 512), (2048, 256),
+                    (2048, 512), (4096, 512), (4096, 1024)]:
     if spec.slots % t_out:
         continue
     # report overrun status once
     cols, flat, fits, ovf, _ = jax.jit(
-        lambda s: _sort_with_payload(s, spec))(state)
+        lambda s: _sort_with_payload(s, spec)[:5])(state)
     from sph_tpu.ops.pallas.expand import window_overrun
-    ovr = bool(jax.jit(lambda: window_overrun(
-        flat, fits, spec.slots, t_out=t_out, w_in=w_in))())
+    ovr = bool(jax.jit(lambda f, m: window_overrun(
+        f, m, spec.slots, t_out=t_out, w_in=w_in))(flat, fits))
     t = scan_of(mk_expand(t_out, w_in), state)
-    print(f"sort+expand T={t_out:4d} W={w_in:3d}: {t:7.3f} ms "
+    print(f"sort+expand T={t_out:4d} W={w_in:4d}: {t:7.3f} ms "
           f"(overrun={ovr})", flush=True)
 

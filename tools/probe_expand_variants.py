@@ -36,7 +36,7 @@ def check(t_out, w_in):
 
     @jax.jit
     def run(state):
-        cols, flat, fits, overflow, slot_of = _sort_with_payload(state, spec)
+        cols, flat, fits, overflow, slot_of, _env = _sort_with_payload(state, spec)
         sc = _scatter_sorted(cols, fills, flat, fits, spec)
         ex, ovr = expand_rows(jnp.stack(cols, axis=1), flat, fits,
                               fills, spec.slots, t_out=t_out, w_in=w_in)

@@ -165,7 +165,7 @@ def main():
     for name, kw in variants:
         @jax.jit
         def run(state, kw=kw):
-            cols, flat, fits, overflow, slot_of = _sort_with_payload(
+            cols, flat, fits, overflow, slot_of, _env = _sort_with_payload(
                 state, spec)
             sc = _scatter_sorted(cols, fills, flat, fits, spec)
             ex = expand_variant(jnp.stack(cols, axis=1), flat, fits,

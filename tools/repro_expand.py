@@ -53,7 +53,7 @@ def main():
 
     @jax.jit
     def run(state):
-        cols, flat, fits, overflow, slot_of = _sort_with_payload(state, spec)
+        cols, flat, fits, overflow, slot_of, _env = _sort_with_payload(state, spec)
         sc = _scatter_sorted(cols, fills, flat, fits, spec)
         ex, ovr = expand_rows(jnp.stack(cols, axis=1), flat, fits,
                               fills, spec.slots)
