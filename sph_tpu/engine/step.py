@@ -119,16 +119,22 @@ def make_step_fn(params: SimParams, donate: bool = True, contact_fn=None):
 def use_bond_plan(params: SimParams, state: SimState) -> bool:
     """Static decision (bond capacity is a shape): the planned adhesion
     accumulate wins once segment_sum's random RMW spills the per-particle
-    accumulator off-chip (~26.8 vs 213 ms at a 1M colony; parity around
-    ~64k endpoint rows — physics/adhesion.py planned section). Below the
-    threshold the plain path also keeps small scenes (and the golden
-    reference trace) bitwise-identical to previous releases."""
+    accumulator off-chip. Threshold pinned by tools/probe_bondplan.py
+    (round 5, v5e, full production step, best-of-4 scan windows; ms
+    plain vs plan): cap 24,576: 2.07/2.05 · 40,960: 3.60/3.51 ·
+    73,728: 6.94/7.82 · 139,264: 14.3/20.0 · 180,224: 16.4/13.2 ·
+    278,528: 23.8/19.1 · 557,056: 73.7/33.8 (plain's scatter collapses
+    off-chip) · 1.82M: ~335/137. Crossover lies in (139264, 180224);
+    163840 sits between the measured points and is optimal at every one
+    of them. (The previous 65536 guess cost the 139k-cap point 28%.)
+    Below the threshold the plain path also keeps small scenes (and the
+    golden reference trace) bitwise-identical to previous releases."""
     mode = getattr(params, "adhesion_plan", "auto")
     if mode == "off":
         return False
     if mode == "on":
         return True
-    return state.bonds.capacity >= 65536
+    return state.bonds.capacity >= 163840
 
 
 def run_steps(state: SimState, params: SimParams, genome: GenomeDevice,

@@ -227,6 +227,37 @@ def test_planned_accumulate_matches_segment_sum():
     np.testing.assert_allclose(got_q2, want_q2, rtol=2e-5, atol=1e-6)
 
 
+def test_use_bond_plan_threshold_boundary():
+    """The auto crossover sits exactly at the probe-pinned capacity
+    (tools/probe_bondplan.py round 5: plain wins through cap 139,264,
+    plan from 180,224 — threshold 163,840 between the measured points):
+    one row below auto stays plain, at/above it goes planned, and the
+    explicit modes override in both directions."""
+    import dataclasses
+
+    from sph_tpu.engine.colony import bonded_colony
+    from sph_tpu.engine.step import use_bond_plan
+
+    state, params, _ = bonded_colony(
+        128, neighbor_mode="dense", dense_k=2)
+
+    def with_cap(cap):
+        b = state.bonds
+        pad = lambda x: jnp.concatenate(  # noqa: E731
+            [x, jnp.zeros((cap - x.shape[0],) + x.shape[1:], x.dtype)])
+        return state.replace_fields(
+            bonds=type(b)(**{f: pad(getattr(b, f))
+                             for f in b.__dataclass_fields__}))
+
+    below, at = with_cap(163839), with_cap(163840)
+    assert not use_bond_plan(params, below)
+    assert use_bond_plan(params, at)
+    p_on = dataclasses.replace(params, adhesion_plan="on")
+    p_off = dataclasses.replace(params, adhesion_plan="off")
+    assert use_bond_plan(p_on, below)
+    assert not use_bond_plan(p_off, at)
+
+
 def test_planned_run_steps_matches_plain_through_division():
     """run_steps with adhesion_plan='on' (plan carried in the scan,
     rebuilt after division steps) matches the plain path through a window

@@ -33,7 +33,7 @@ SUB = int(sys.argv[1]) if len(sys.argv) > 1 else 45
 ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 # Colony sizes chosen so steady-state bond counts straddle the old 65536
 # guess: ~1.67 bonds/cell settled (BASELINE: 16,329 @ 10k cells).
-SIZES = [5_000, 10_000, 20_000, 40_000, 80_000, 160_000]
+SIZES = [10_000, 20_000, 40_000, 80_000, 102_400, 160_000, 320_000, 640_000]
 
 print(json.dumps({"backend": jax.default_backend(), "sub": SUB}), flush=True)
 
