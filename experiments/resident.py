@@ -1,5 +1,18 @@
 """Slot-resident biology stepping: run the colony step IN the dense layout.
 
+DEMOTED TO AN EXPERIMENT (round 5, VERDICT r4 weak #5): this engine lost
+2.2x at the only regime the ladder exercises (40.3 vs 18.6 ms/step at a
+settled 100k bonded colony — slots/N ≈ 21.6 makes every slot-space pass
+pay ~20x the rows the classic path's per-step pack buys back), and the
+round-5 attempt to time its target regime (a compressed colony at
+rest length 1.6 < contact reach, slots/N → ~2, k=4) hit a compile wall:
+the k=4 full-stencil sweep's ~134 unrolled variants did not finish
+compiling through the relay within a 35-minute budget, so no winning
+config is RECORDED. The machinery is kept here — correct, window-gated,
+and covered by experiments/test_resident.py (`python -m pytest
+experiments/ -q`) — but it no longer ships as product surface: the
+SimParams.resident flag is inert and Simulation never dispatches here.
+
 The classic per-step path (engine/step.py) re-packs the [Z, Y, X·K] contact
 layout from particle order every step and gathers forces back (~2.9 ms pack
 + ~1.1 ms unpack of an 18.6 ms step at a 100k bonded colony). This module

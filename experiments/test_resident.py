@@ -19,7 +19,7 @@ import pytest
 
 from sph_tpu.engine.colony import bonded_colony
 from sph_tpu.engine.step import run_steps, step
-from sph_tpu.physics.resident import (
+from experiments.resident import (
     drift_margin,
     empty_cache,
     make_contact_spec,

@@ -103,19 +103,6 @@ class Simulation:
                     self.params, donate=self.donate,
                     contact_fn=self.contact_fn,
                 )
-            elif (
-                self.params.resident
-                and self.params.neighbor_mode == "dense"
-                and self.contact_fn is None
-            ):
-                from sph_tpu.physics.resident import run_steps_resident
-
-                fn = jax.jit(
-                    lambda st, gd: run_steps_resident(
-                        st, self.params, gd, chunk
-                    ),
-                    donate_argnums=(0,) if self.donate else (),
-                )
             else:
                 from sph_tpu.engine.step import run_steps
 

@@ -4,9 +4,15 @@ Times run_steps (classic per-step pack) vs run_steps_resident on the same
 state, and reports the resident gate's verdict on the first step so a
 silently-always-classic window is visible.
 
-Usage: python tools/probe_resident.py [n]
+Usage: python tools/probe_resident.py [n] [rest_length] [k]
+
+rest_length < 2.0 (the contact reach) builds a COMPRESSED colony — the
+high-occupancy regime resident stepping targets (slots/N → ~1, contacts
+firing everywhere, BASELINE 'resident' analysis / VERDICT r4 weak #5).
+Default 2.96 (the reference genome) reproduces the settled-regime loss.
 """
 
+import dataclasses
 import sys
 import time
 
@@ -16,8 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from sph_tpu.engine.colony import bonded_colony
+from sph_tpu.engine.config import reference_genome
 from sph_tpu.engine.step import run_steps
-from sph_tpu.physics.resident import (
+from experiments.resident import (
     drift_margin,
     make_contact_spec,
     pack_resident,
@@ -26,10 +33,15 @@ from sph_tpu.physics.resident import (
 )
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 102400
+REST = float(sys.argv[2]) if len(sys.argv) > 2 else 2.96
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 SUB = 60
+g0 = reference_genome()
+gen = type(g0)((dataclasses.replace(
+    g0.modes[0], adhesion_rest_length=REST),))
 state, params, genome = bonded_colony(
-    N, neighbor_mode="dense", grid_dim=48, grid_cell_size=4.0,
-    cell_capacity=16, max_splits_per_step=64, dense_k=2, use_pallas=True,
+    N, genome=gen, neighbor_mode="dense", grid_dim=48, grid_cell_size=4.0,
+    cell_capacity=16, max_splits_per_step=64, dense_k=K, use_pallas=True,
 )
 gd = genome.to_device()
 spec = make_contact_spec(params, k=params.dense_k,
