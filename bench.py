@@ -27,6 +27,18 @@ import jax
 import jax.numpy as jnp
 
 
+_T0 = time.monotonic()
+
+
+def _note(msg: str) -> None:
+    """Flushed stderr progress line (stdout stays the single JSON line —
+    driver contract). Added after the round-5 full-ladder run sat opaque
+    for 28 minutes: a hung stage must leave a diagnosable tail."""
+    import sys
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _rate_stats(rates: list[float], n: int) -> dict:
     """Best AND median steps/s over timing windows: the relay's window
     variance (~1.6×, BASELINE.md) makes a best-of-N headline alone
@@ -188,61 +200,31 @@ def _bench_4m_multichip():
     width per the reference's 27-cell stencil, SimulateParticles.compute:
     228-233)."""
     out = _bench_dense(4_000_000, steps=45, substeps=15, cell_factor=1.35)
+    _note("4M dense done; starting 8-way decomposition dryrun")
 
+    # The recorded 8-way check now rides the SAME staged/budgeted/
+    # cache-warmed path as the driver's multichip artifact
+    # (__graft_entry__.dryrun_multichip: fast tiny-shape 1D/2D fluid +
+    # contact + colony core first, persistent tests/.jax_cache compile
+    # cache, progress line around every check). The previous bespoke
+    # inline code cold-compiled a 65k k=8 pure-XLA sharded step on every
+    # invocation — ~25 min on a 1-core host, the same failure mode that
+    # produced the round-4 MULTICHIP rc=124 artifact.
     import os
     import subprocess
     import sys
 
-    code = (
-        # The session sitecustomize pre-imports jax pinned to the axon
-        # platform, so env vars alone cannot move the child to CPU — go
-        # through jax.config (same trick as tests/conftest.py), and ASSERT
-        # the mesh is real: a silent 1-device fallback would record a
-        # vacuous 'ok' (this happened — the round-2/3 dryrun_8way rows
-        # before this fix ran 1-way on the TPU backend).
-        "import os; os.environ['JAX_PLATFORMS'] = 'cpu'\n"
-        "import jax\n"
-        "jax.config.update('jax_platforms', 'cpu')\n"
-        "jax.config.update('jax_num_cpu_devices', 8)\n"
-        "assert jax.default_backend() == 'cpu', jax.default_backend()\n"
-        "assert jax.device_count() >= 8, jax.device_count()\n"
-        "import numpy as np\n"
-        "from jax.sharding import Mesh\n"
-        "from sph_tpu.parallel.dist import (make_sharded_dense_step, "
-        "make_sharded_dense_step_2d, make_mesh_2d, shard_dense_state)\n"
-        "from sph_tpu.sph.dense import make_dense_spec, pack\n"
-        "from sph_tpu.sph.scenes import dam_break_3d\n"
-        "state, params = dam_break_3d(n_target=65536)\n"
-        "params = params.replace(cell_factor=1.35, dense_k=8, rebin_every=3,"
-        " use_pallas=False)\n"
-        "spec = make_dense_spec(params, k=8, cell_factor=1.35)\n"
-        "mesh = Mesh(np.array(jax.devices()[:8]), ('x',))\n"
-        "f = make_sharded_dense_step(params, spec, mesh, substeps=3)\n"
-        "d = f(shard_dense_state(pack(state, params, spec), mesh))\n"
-        "jax.block_until_ready(d.px)\n"
-        "assert int(d.dropped) == 0, int(d.dropped)\n"
-        "m2 = make_mesh_2d((2, 4), jax.devices()[:8])\n"
-        "f2 = make_sharded_dense_step_2d(params, spec, m2, substeps=3)\n"
-        "d2 = f2(pack(state, params, spec))\n"
-        "jax.block_until_ready(d2.px)\n"
-        "assert int(d2.dropped) == 0, int(d2.dropped)\n"
-        "print('8-way dryrun OK (1D ring + 2x4 mesh)', d.px.shape)\n"
-    )
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=8"
-    ).strip()
     r = subprocess.run(
-        [sys.executable, "-c", code],
-        cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
-        capture_output=True, text=True, timeout=1800,
+        [sys.executable, "-u", "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        stdout=sys.stderr, stderr=sys.stderr, env=dict(os.environ),
+        timeout=1800,
     )
     out["dryrun_8way"] = (
-        "ok" if r.returncode == 0
-        else f"FAIL rc={r.returncode}: {r.stderr[-200:]}"
+        "ok" if r.returncode == 0 else f"FAIL rc={r.returncode}"
     )
+    _note(f"8-way dryrun: {out['dryrun_8way']}")
     return out
 
 
@@ -316,14 +298,19 @@ def main():
     if args.all:
         detail = {}
         for _idx, (name, fn) in CONFIGS.items():
+            _note(f"config[{_idx}] start: {name}")
             try:
                 detail[name] = fn()
+                _note(f"config[{_idx}] done: "
+                      f"{detail[name].get('steps_per_sec')} steps/s")
             except Exception as e:  # noqa: BLE001
                 detail[name] = {"error": str(e)[:200]}
+                _note(f"config[{_idx}] ERROR: {str(e)[:200]}")
         head_name = CONFIGS[3][0]
         head = detail[head_name]
     else:
         head_name, fn = CONFIGS[args.config]
+        _note(f"config[{args.config}] start: {head_name}")
         head = fn()
         detail = {head_name: head}
 
@@ -337,14 +324,19 @@ def main():
         ):
             size = f"{n//1024}k" if n < 1 << 20 else f"{n/(1<<20):g}M"
             key = f"cell colony {size} (contact+adhesion, {mode})"
+            _note(f"cells start: {key}")
             try:
                 detail[key] = _bench_cells(
                     n, steps=steps, chunk=chunk, neighbor_mode=mode
                 )
+                _note(f"cells done: {key} = "
+                      f"{detail[key].get('steps_per_sec')} steps/s")
             except Exception as e:  # noqa: BLE001
                 detail[key] = {"error": str(e)[:200]}
+                _note(f"cells ERROR: {key}: {str(e)[:200]}")
 
     if args.breakdown:
+        _note("breakdown start (256k + 1M phase splits)")
         from sph_tpu.sph.dense import make_dense_spec, pack
         from sph_tpu.sph.scenes import dam_break_3d
         from sph_tpu.utils.profiling import step_breakdown
@@ -381,7 +373,9 @@ def main():
         "detail": detail,
     }
     if args.verify:
+        _note("verify start")
         out["verify"] = _verify_on_chip()
+        _note(f"verify: {out['verify']}")
     print(json.dumps(out))
 
 
